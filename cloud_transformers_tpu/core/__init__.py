@@ -1,0 +1,22 @@
+from cloud_transformers_tpu.core.balance import balance_op
+from cloud_transformers_tpu.core.coords import (
+    bilinear_coords,
+    trilinear_coords,
+    grid_positions,
+)
+from cloud_transformers_tpu.core.so3 import so3_exponential_map
+from cloud_transformers_tpu.core.splat_slice import splat_max, slice_grid, splat_slice
+from cloud_transformers_tpu.core.noise import sphere_noise, partial_postprocess
+
+__all__ = [
+    "balance_op",
+    "bilinear_coords",
+    "trilinear_coords",
+    "grid_positions",
+    "so3_exponential_map",
+    "splat_max",
+    "slice_grid",
+    "splat_slice",
+    "sphere_noise",
+    "partial_postprocess",
+]

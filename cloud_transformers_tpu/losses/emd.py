@@ -1,0 +1,169 @@
+"""Approximate Earth Mover's Distance via the auction algorithm, pure XLA.
+
+TPU-native replacement for the reference CUDA extension
+(/root/reference/emd_linear/emd_cuda.cu, emd_module.py).  Same algorithm:
+``iters`` rounds of {bid -> resolve conflicts -> assign with eviction}, with a
+final round that force-assigns every remaining unassigned point (possibly
+non-bijectively), then distances through the fixed assignment.
+
+The CUDA kernel compacts the unassigned set into a list (emd_cuda.cu:85-93);
+that data-dependent shape doesn't translate to XLA, so here every point always
+computes its bid and assigned points are masked out — same fixpoint, fixed
+shapes.  The per-round best/second-best search over targets is chunked so peak
+memory is ``B * N * chunk`` (each chunk's distances come from one MXU matmul).
+
+Semantics notes (kept identical to the reference):
+  * bid value: ``3 - ||x1_j - x2_k|| - price_k`` — euclidean, clouds assumed
+    normalized to [0, 1] (emd_cuda.cu:146).
+  * bid increment: ``best - better + eps`` (emd_cuda.cu:175).
+  * conflict resolution: highest increment per target wins (ties: lowest
+    bidder index — the CUDA version is nondeterministic among exact ties,
+    emd_cuda.cu:181-194).
+  * gradient: only to ``xyz1``, through the fixed assignment
+    (emd_cuda.cu:284-316, emd_module.py:62-70).
+  * constraints n == m relaxed-checked; n need not be a multiple of 1024 here.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e9
+
+
+def _top2_values(x1, x2, price, chunk_size):
+    """Per x1 point: best and second-best bid value over x2, plus argmax.
+
+    Returns (best [B,N], better [B,N], best_i [B,N]).
+    """
+    b, n, _ = x1.shape
+    m = x2.shape[1]
+    num_chunks = max(1, -(-m // chunk_size))
+    pad = num_chunks * chunk_size - m
+    if pad:
+        # pad with far-away dummy targets (never win: value -> very negative)
+        x2p = jnp.concatenate(
+            [x2, jnp.full((b, pad, 3), 1e6, x2.dtype)], axis=1)
+        pricep = jnp.concatenate([price, jnp.zeros((b, pad), price.dtype)],
+                                 axis=1)
+    else:
+        x2p, pricep = x2, price
+    x2c = x2p.reshape(b, num_chunks, chunk_size, 3).transpose(1, 0, 2, 3)
+    pc = pricep.reshape(b, num_chunks, chunk_size).transpose(1, 0, 2)
+    x1_sq = jnp.sum(x1 * x1, axis=-1)  # [B, N]
+
+    def one_chunk(carry, xs):
+        best, better, best_i = carry
+        x2_chunk, price_chunk, k0 = xs
+        cross = jnp.einsum("bnd,bcd->bnc", x1, x2_chunk,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        d_sq = (x1_sq[..., None] + jnp.sum(x2_chunk * x2_chunk, -1)[:, None, :]
+                - 2.0 * cross)
+        value = 3.0 - jnp.sqrt(jnp.clip(d_sq, 0.0)) - price_chunk[:, None, :]
+        # chunk top-2
+        c1 = jnp.max(value, axis=-1)
+        a1 = jnp.argmax(value, axis=-1).astype(jnp.int32)
+        masked = jnp.where(
+            jax.nn.one_hot(a1, value.shape[-1], dtype=bool), _NEG, value)
+        c2 = jnp.max(masked, axis=-1)
+        # merge running top-2 with chunk top-2
+        new_best = jnp.maximum(best, c1)
+        new_better = jnp.maximum(jnp.minimum(best, c1), jnp.maximum(better, c2))
+        new_best_i = jnp.where(c1 > best, k0 + a1, best_i)
+        return (new_best, new_better, new_best_i), None
+
+    init = (jnp.full((b, n), _NEG), jnp.full((b, n), _NEG),
+            jnp.zeros((b, n), jnp.int32))
+    k0s = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
+    (best, better, best_i), _ = jax.lax.scan(one_chunk, init, (x2c, pc, k0s))
+    return best, better, best_i
+
+
+def _auction_round(x1, x2, eps, chunk_size, state, last):
+    """One auction round: bid, resolve winners, assign with eviction."""
+    assignment, assignment_inv, price = state
+    b, n, _ = x1.shape
+    m = x2.shape[1]
+    unass = assignment < 0  # [B, N]
+
+    best, better, best_i = _top2_values(x1, x2, price, chunk_size)
+    bid_inc = best - better + eps  # > 0
+
+    # winner per target among unassigned bidders: max increment, ties -> lowest j
+    inc_cand = jnp.where(unass, bid_inc, _NEG)
+    seg_max = jnp.full((b, m), _NEG).at[
+        jnp.arange(b)[:, None], best_i].max(inc_cand)
+    is_top = unass & (bid_inc >= jnp.take_along_axis(seg_max, best_i, axis=1))
+    j_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    j_cand = jnp.where(is_top, j_ids, n)
+    seg_argj = jnp.full((b, m), n, jnp.int32).at[
+        jnp.arange(b)[:, None], best_i].min(j_cand)
+    winner = is_top & (j_ids == jnp.take_along_axis(seg_argj, best_i, axis=1))
+
+    if last:
+        # final round: every unassigned point takes its bid target, conflicts
+        # allowed (emd_cuda.cu:196-215 with last=true); only `assignment`
+        # matters downstream.
+        assignment = jnp.where(unass, best_i, assignment)
+        return assignment, assignment_inv, price
+
+    # evict previous owners of contested targets
+    prev_owner = jnp.take_along_axis(assignment_inv, best_i, axis=1)  # [B, N]
+    evict = winner & (prev_owner >= 0)
+    batch_ix = jnp.arange(b)[:, None]
+    assignment = assignment.at[
+        batch_ix, jnp.where(evict, prev_owner, n)].set(-1, mode="drop")
+    # assign winners
+    assignment = jnp.where(winner, best_i, assignment)
+    assignment_inv = assignment_inv.at[
+        batch_ix, jnp.where(winner, best_i, m)].set(j_ids, mode="drop")
+    price = price.at[
+        batch_ix, jnp.where(winner, best_i, m)].add(
+        jnp.where(winner, bid_inc, 0.0), mode="drop")
+    return assignment, assignment_inv, price
+
+
+@partial(jax.jit, static_argnames=("iters", "chunk_size"))
+def emd_auction(xyz1, xyz2, eps=0.005, iters=50, chunk_size=2048):
+    """Auction-assignment EMD.
+
+    Args:
+      xyz1: [B, N, 3] predicted cloud (receives gradient).
+      xyz2: [B, N, 3] ground-truth cloud (no gradient, as in the reference).
+      eps: bid increment slack (speed/accuracy tradeoff).
+      iters: number of auction rounds (static).
+      chunk_size: target-dimension tile for the bid search.
+
+    Returns:
+      dist: [B, N] squared distances to the matched point (differentiable in
+        xyz1 through the fixed assignment).
+      assignment: [B, N] int32 matched index into xyz2.
+    """
+    assert xyz1.shape == xyz2.shape, "EMD requires equal-size clouds"
+    b, n, _ = xyz1.shape
+    x1 = jax.lax.stop_gradient(xyz1.astype(jnp.float32))
+    x2 = jax.lax.stop_gradient(xyz2.astype(jnp.float32))
+
+    state = (jnp.full((b, n), -1, jnp.int32),
+             jnp.full((b, n), -1, jnp.int32),
+             jnp.zeros((b, n), jnp.float32))
+
+    if iters > 1:
+        def body(_, s):
+            return _auction_round(x1, x2, eps, chunk_size, s, last=False)
+        state = jax.lax.fori_loop(0, iters - 1, body, state)
+    state = _auction_round(x1, x2, eps, chunk_size, state, last=True)
+    assignment = state[0]
+
+    matched = jnp.take_along_axis(x2, assignment[..., None], axis=1)
+    dist = jnp.sum((xyz1 - jax.lax.stop_gradient(matched)) ** 2, axis=-1)
+    return dist, assignment
+
+
+def loss_emd(pred, gt, eps=0.005, iters=50, chunk_size=2048):
+    """mean(sqrt(dist)) as used by the completion trainer
+    (/root/reference/train_inpainter.py:187-189)."""
+    dist, _ = emd_auction(pred, gt, eps, iters, chunk_size)
+    return jnp.mean(jnp.sqrt(dist + 1e-12))

@@ -1,0 +1,150 @@
+"""Loss tests: Chamfer vs dense oracle, EMD vs scipy optimal assignment
+(SURVEY.md §4 item 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+from scipy.spatial.distance import cdist
+
+from cloud_transformers_tpu.losses import (
+    chamfer_distance,
+    loss_chamfer,
+    loss_chamfer_adj,
+    emd_auction,
+    f_score,
+)
+
+
+def dense_chamfer_oracle(x, y):
+    """Port of the reference's pure-torch oracle
+    (/root/reference/chamfer_extension/chamfer_pytorch.py) in numpy."""
+    d = ((x[:, :, None] - y[:, None]) ** 2).sum(-1)  # [B, N, M]
+    return d.min(2), d.min(1), d.argmin(2), d.argmin(1)
+
+
+class TestChamfer:
+    @pytest.mark.parametrize("n,m,chunk", [(64, 64, 1024), (100, 37, 16),
+                                           (257, 129, 64)])
+    def test_matches_oracle(self, rng, n, m, chunk):
+        x = rng.randn(2, n, 3).astype(np.float32)
+        y = rng.randn(2, m, 3).astype(np.float32)
+        d1, d2, i1, i2 = chamfer_distance(jnp.asarray(x), jnp.asarray(y),
+                                          chunk_size=chunk)
+        od1, od2, oi1, oi2 = dense_chamfer_oracle(x, y)
+        np.testing.assert_allclose(np.asarray(d1), od1, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(d2), od2, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i1), oi1)
+        np.testing.assert_array_equal(np.asarray(i2), oi2)
+
+    def test_identical_clouds_zero(self, rng):
+        x = jnp.asarray(rng.randn(1, 50, 3), jnp.float32)
+        assert float(loss_chamfer(x, x)) < 1e-9
+
+    def test_gradient_matches_reference_formula(self, rng):
+        # grad of sum(dist1) wrt xyz1 is 2*(x1 - x2[idx1]) (chamfer.cu:155-177)
+        x = jnp.asarray(rng.randn(1, 20, 3), jnp.float32)
+        y = jnp.asarray(rng.randn(1, 30, 3), jnp.float32)
+
+        def f(a):
+            d1, _, _, _ = chamfer_distance(a, y)
+            return jnp.sum(d1)
+
+        g = jax.grad(f)(x)
+        _, _, i1, _ = chamfer_distance(x, y)
+        want = 2 * (np.asarray(x) - np.asarray(y)[0][np.asarray(i1)[0]])
+        np.testing.assert_allclose(np.asarray(g), want, atol=1e-5)
+
+    def test_gradient_flows_to_second_cloud(self, rng):
+        x = jnp.asarray(rng.randn(1, 20, 3), jnp.float32)
+        y = jnp.asarray(rng.randn(1, 30, 3), jnp.float32)
+        g = jax.grad(lambda b: loss_chamfer(x, b))(y)
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+    def test_masked_targets_excluded(self, rng):
+        x = jnp.asarray(rng.randn(1, 16, 3), jnp.float32)
+        y = np.concatenate([np.asarray(x[0]) * 0 + 100, rng.randn(16, 3)],
+                           0)[None].astype(np.float32)
+        valid2 = jnp.asarray(np.concatenate(
+            [np.ones(16), np.zeros(16)])[None], bool)
+        d1, _, i1, _ = chamfer_distance(x, jnp.asarray(y), valid2=valid2)
+        assert int(np.asarray(i1).max()) < 16  # never picks masked targets
+
+
+class TestEMD:
+    def test_near_optimal_on_small_problem(self, rng):
+        # High-iteration auction approaches the Hungarian optimum.
+        x = rng.rand(2, 64, 3).astype(np.float32)
+        y = rng.rand(2, 64, 3).astype(np.float32)
+        dist, assign = emd_auction(jnp.asarray(x), jnp.asarray(y),
+                                   eps=0.002, iters=500, chunk_size=64)
+        got = np.sqrt(np.asarray(dist)).sum(-1)
+        for b in range(2):
+            c = cdist(x[b], y[b])
+            r, cidx = linear_sum_assignment(c)
+            opt = c[r, cidx].sum()
+            assert got[b] <= opt * 1.1 + 1e-3, (got[b], opt)
+
+    def test_identity_assignment(self, rng):
+        x = rng.rand(1, 32, 3).astype(np.float32)
+        dist, assign = emd_auction(jnp.asarray(x), jnp.asarray(x),
+                                   eps=0.0005, iters=300, chunk_size=32)
+        # matching a cloud to itself: near-zero distance
+        assert float(jnp.mean(dist)) < 1e-3
+
+    def test_dist_consistent_with_assignment(self, rng):
+        x = rng.rand(1, 64, 3).astype(np.float32)
+        y = rng.rand(1, 64, 3).astype(np.float32)
+        dist, assign = emd_auction(jnp.asarray(x), jnp.asarray(y),
+                                   eps=0.01, iters=20, chunk_size=32)
+        a = np.asarray(assign)[0]
+        want = ((x[0] - y[0][a]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(dist)[0], want, atol=1e-5)
+
+    def test_assignment_bijective_with_enough_iters(self, rng):
+        x = rng.rand(1, 64, 3).astype(np.float32)
+        y = rng.rand(1, 64, 3).astype(np.float32)
+        _, assign = emd_auction(jnp.asarray(x), jnp.asarray(y),
+                                eps=0.001, iters=1000, chunk_size=64)
+        assert len(np.unique(np.asarray(assign)[0])) >= 60  # near-bijection
+
+    def test_gradient_only_to_first_cloud(self, rng):
+        x = jnp.asarray(rng.rand(1, 32, 3), jnp.float32)
+        y = jnp.asarray(rng.rand(1, 32, 3), jnp.float32)
+
+        def f(a, b):
+            d, _ = emd_auction(a, b, eps=0.01, iters=10, chunk_size=32)
+            return jnp.sum(d)
+
+        gx = jax.grad(f, argnums=0)(x, y)
+        gy = jax.grad(f, argnums=1)(x, y)
+        assert float(jnp.max(jnp.abs(gx))) > 0
+        np.testing.assert_allclose(np.asarray(gy), 0.0)
+        # reference formula: 2*(x1 - x2[assignment]) (emd_cuda.cu:284-300)
+        _, assign = emd_auction(x, y, eps=0.01, iters=10, chunk_size=32)
+        want = 2 * (np.asarray(x)[0] - np.asarray(y)[0][np.asarray(assign)[0]])
+        np.testing.assert_allclose(np.asarray(gx)[0], want, atol=1e-5)
+
+
+class TestFScore:
+    def test_perfect_match(self, rng):
+        x = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
+        f, p, r = f_score(x, x, threshold=0.01)
+        np.testing.assert_allclose(np.asarray(f), 1.0)
+
+    def test_disjoint_clouds(self, rng):
+        x = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
+        f, p, r = f_score(x, x + 10.0, threshold=0.01)
+        np.testing.assert_allclose(np.asarray(f), 0.0)
+
+    def test_partial(self):
+        # pred = half right, half far away -> precision 0.5, recall
+        # depends on coverage
+        gt = jnp.asarray(np.linspace(0, 1, 32)[:, None].repeat(3, 1)[None],
+                         jnp.float32)
+        pred = np.asarray(gt).copy()
+        pred[0, 16:] += 100.0
+        f, p, r = f_score(jnp.asarray(pred), gt, threshold=0.01)
+        np.testing.assert_allclose(float(p[0]), 0.5, atol=1e-6)
+        np.testing.assert_allclose(float(r[0]), 0.5, atol=1e-6)
