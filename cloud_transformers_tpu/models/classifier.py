@@ -1,0 +1,139 @@
+"""ScanObjectNN classifier (flagship model / north-star benchmark).
+
+Reference: /root/reference/model_zoo/scanobject/classifier.py — Conv 3->512
+stem, 12 MultiHeadUnion blocks (4 repeats of 128/64/16-2D x 32/16/8-3D pairs),
+dual MultiHeadPool transitions into Res3D/Res2D trunks, fused 2048->1024 class
+vector, class head, and a per-point mask head conditioned on the class vector.
+``classifier_scales.py`` is the same network with per-head scale parameters
+enabled.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cloud_transformers_tpu.models import register
+from cloud_transformers_tpu.nn.conv_blocks import (
+    Res2DBlock,
+    Res3DBlock,
+    max_pool_nd,
+)
+from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
+from cloud_transformers_tpu.nn.multihead import MultiHeadPool, MultiHeadUnion, _bn
+
+
+def mhct_block_configs(repeats=4):
+    """The shared 12-block MHCT trunk configuration (classifier.py:46-63,
+    reused by the segmenter, the completion encoder, and the decoders)."""
+    blocks = []
+    for _ in range(repeats):
+        blocks += [
+            dict(features_dims=[4, 4], heads=[16, 16],
+                 tensor_sizes=[128, 32], tensor_dims=[2, 3]),
+            dict(features_dims=[16, 16], heads=[16, 16],
+                 tensor_sizes=[64, 16], tensor_dims=[2, 3]),
+            dict(features_dims=[16, 32], heads=[16, 16],
+                 tensor_sizes=[16, 8], tensor_dims=[2, 3]),
+        ]
+    return blocks
+
+
+class ClassifierBackbone(nn.Module):
+    """Stem + 12 MHCT blocks + dual pool trunks -> (per-point features,
+    2048-d pooled vector, stats). Shared by the classifier and the
+    completion encoder (inpainter.py:23-116)."""
+
+    model_dim: int = 512
+    scales: bool = False
+
+    @nn.compact
+    def __call__(self, pcd, train=True):
+        x = nn.Dense(self.model_dim, use_bias=False,
+                     kernel_init=torch_kernel_init(), name="stem")(pcd)
+        x = nn.relu(_bn(train, name="stem_bn")(x))
+
+        stats = []
+        for i, cfg in enumerate(mhct_block_configs()):
+            x, s = MultiHeadUnion(model_dim=self.model_dim,
+                                  model_dim_out=self.model_dim,
+                                  scales=self.scales, name=f"union_{i}",
+                                  **cfg)(x, pcd, train=train)
+            stats += s
+
+        res = x
+
+        to_3d, s3 = MultiHeadPool(in_feature_dim=32, heads=16, tensor_size=8,
+                                  tensor_dim=3, scales=self.scales,
+                                  name="pool3d")(res, pcd, train=train)
+        to_2d, s2 = MultiHeadPool(in_feature_dim=16, heads=16, tensor_size=16,
+                                  tensor_dim=2, scales=self.scales,
+                                  name="pool2d")(res, pcd, train=train)
+        stats += [s3, s2]
+
+        # Res3D trunk: 512 -> 1024 with two pools -> GAP (classifier.py:74-79)
+        h3 = Res3DBlock(out_planes=64 * 16, groups=16)(to_3d, train)
+        h3 = max_pool_nd(h3, 2)
+        h3 = Res3DBlock(out_planes=64 * 16, groups=16)(h3, train)
+        h3 = max_pool_nd(h3, 2)
+        h3 = Res3DBlock(out_planes=64 * 16, groups=16)(h3, train)
+        pooled_3d = jnp.mean(h3, axis=(1, 2, 3))
+
+        # Res2D trunk (classifier.py:87-92)
+        h2 = Res2DBlock(out_planes=32 * 16, groups=16)(to_2d, train)
+        h2 = max_pool_nd(h2, 2)
+        h2 = Res2DBlock(out_planes=64 * 16, groups=16)(h2, train)
+        h2 = max_pool_nd(h2, 2)
+        h2 = Res2DBlock(out_planes=64 * 16, groups=16)(h2, train)
+        pooled_2d = jnp.mean(h2, axis=(1, 2))
+
+        pooled = jnp.concatenate([pooled_2d, pooled_3d], axis=-1)  # [B, 2048]
+        return res, pooled, stats
+
+
+@register("scanobject_classifier")
+class Classifier(nn.Module):
+    """Returns (class_pred [B, n_classes], mask_pred [B, P, 1], stats)."""
+
+    n_classes: int = 15
+    model_dim: int = 512
+    scales: bool = False
+
+    @nn.compact
+    def __call__(self, pcd, train=True):
+        res, pooled, stats = ClassifierBackbone(
+            model_dim=self.model_dim, scales=self.scales,
+            name="backbone")(pcd, train=train)
+
+        cv = nn.Dense(1024, kernel_init=torch_kernel_init(),
+                      bias_init=torch_bias_init(2048),
+                      name="class_vector")(pooled)
+        class_vect = nn.relu(_bn(train, name="class_vector_bn")(cv))
+
+        ch = nn.Dropout(0.5, deterministic=not train)(class_vect)
+        class_pred = nn.Dense(self.n_classes, kernel_init=torch_kernel_init(),
+                              bias_init=torch_bias_init(1024),
+                              name="class_head")(ch)
+
+        # per-point mask head conditioned on the class vector
+        # (classifier.py:101-107,142)
+        p = res.shape[1]
+        mh = jnp.concatenate(
+            [res, jnp.broadcast_to(class_vect[:, None, :],
+                                   (res.shape[0], p, 1024))], axis=-1)
+        mh = nn.Dropout(0.5, deterministic=not train)(mh)
+        mh = nn.Dense(256, use_bias=False, kernel_init=torch_kernel_init(),
+                      name="mask_conv1")(mh)
+        mh = _bn(train, name="mask_bn")(mh)
+        # ReLUDropoutInplace(0.5) == dropout(relu(x)) (classifier.py:20-32)
+        mh = nn.Dropout(0.5, deterministic=not train)(nn.relu(mh))
+        mask_pred = nn.Dense(1, kernel_init=torch_kernel_init(),
+                             bias_init=torch_bias_init(256),
+                             name="mask_conv2")(mh)
+
+        return class_pred, mask_pred, stats
+
+
+@register("scanobject_classifier_scales")
+class ClassifierScales(Classifier):
+    """classifier_scales.py: identical but with learned per-head scales."""
+
+    scales: bool = True

@@ -1,0 +1,86 @@
+"""ShapeNet completion ("inpainter") model.
+
+Reference: /root/reference/model_zoo/completion/inpainter.py — an Encoder that
+is the classifier backbone ending in a 1024-d latent, a mapping to ``z``, and
+an AdaIN-conditioned 12-block decoder over a labeled sphere-noise cloud
+[B, P, 4] (xyz + is-real-point label), keys driven by the noise xyz.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cloud_transformers_tpu.models import register
+from cloud_transformers_tpu.models.classifier import (
+    ClassifierBackbone,
+    mhct_block_configs,
+)
+from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
+from cloud_transformers_tpu.nn.multihead import _bn
+from cloud_transformers_tpu.nn.multihead_adain import MultiHeadUnionAdaIn
+from cloud_transformers_tpu.nn.norm import AdaIn1d
+
+
+class CompletionEncoder(nn.Module):
+    """Backbone -> Linear(2048, 1024) + BN + ReLU (inpainter.py:23-116)."""
+
+    model_dim: int = 512
+
+    @nn.compact
+    def __call__(self, pcd, train=True):
+        _, pooled, stats = ClassifierBackbone(
+            model_dim=self.model_dim, name="backbone")(pcd, train=train)
+        z = nn.Dense(1024, kernel_init=torch_kernel_init(),
+                     bias_init=torch_bias_init(2048), name="class_head")(pooled)
+        z = nn.relu(_bn(train, name="class_head_bn")(z))
+        return z, stats
+
+
+class AdaInDecoder(nn.Module):
+    """Shared AdaIN decoder trunk: start conv + 12 MultiHeadUnionAdaIn blocks
+    (inpainter.py:130-155 / reconstructor.py:38-63)."""
+
+    model_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x, z, keys_xyz, train=True):
+        stats = []
+        for i, cfg in enumerate(mhct_block_configs()):
+            x, s = MultiHeadUnionAdaIn(model_dim=self.model_dim,
+                                       model_dim_out=self.model_dim,
+                                       name=f"union_{i}", **cfg)(
+                x, z, keys_xyz, train=train)
+            stats += s
+        return x, stats
+
+
+@register("completion_inpainter")
+class Inpainter(nn.Module):
+    """``__call__(noise [B,P,4], partial [B,Pin,3])`` -> ([B,P,3], stats)."""
+
+    num_latent: int = 512
+    model_dim: int = 512
+
+    @nn.compact
+    def __call__(self, noise, partial, train=True):
+        z, enc_stats = CompletionEncoder(model_dim=self.model_dim,
+                                         name="encoder")(partial, train=train)
+        z = nn.relu(nn.Dense(self.num_latent, kernel_init=torch_kernel_init(),
+                             bias_init=torch_bias_init(1024),
+                             name="mapping")(z))
+
+        x = nn.Dense(self.model_dim, use_bias=False,
+                     kernel_init=torch_kernel_init(), name="start_conv")(noise)
+        x = nn.relu(AdaIn1d(self.model_dim, name="start_adain")(x, z))
+
+        x, dec_stats = AdaInDecoder(model_dim=self.model_dim, name="decoder")(
+            x, z, noise[..., :3], train=train)
+
+        # final head re-concats the noise channels (inpainter.py:157-162,182)
+        x = jnp.concatenate([x, noise], axis=-1)
+        x = nn.Dense(self.model_dim, use_bias=False,
+                     kernel_init=torch_kernel_init(), name="final_conv1")(x)
+        x = nn.relu(AdaIn1d(self.model_dim, name="final_adain")(x, z))
+        out = nn.Dense(3, kernel_init=torch_kernel_init(),
+                       bias_init=torch_bias_init(self.model_dim),
+                       name="final_conv2")(x)
+        return out, enc_stats + dec_stats

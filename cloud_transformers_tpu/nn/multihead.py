@@ -1,0 +1,211 @@
+"""Multi-Headed Cloud Transform blocks (the paper's core layer), in flax.
+
+Reference semantics: /root/reference/layers/multihead_ct.py (MultiHead,
+MultiHeadUnion) and layers/multihead_ct_pool.py (MultiHeadPool).  Channel-last
+layout throughout: points are ``[B, P, C]``, grids ``[B, *spatial, H*F]``.
+
+Per head group: a 1x1 projection predicts per-head key offsets and values;
+keys go through a zero-init-scale BatchNorm (so keys start as the transformed
+input geometry — multihead_ct.py:79-80), a learned per-head frame, and tanh;
+the values are splatted onto the head's grid, convolved with a grouped 3x3
+conv, sliced back, and normalized.
+"""
+
+from typing import Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cloud_transformers_tpu.core import grid_positions, splat_max, slice_grid
+from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
+from cloud_transformers_tpu.nn.transforms import VolTransformer, PlaneTransformer
+
+TensorSize = Union[int, Tuple[int, ...]]
+
+
+def _sizes(tensor_size: TensorSize, dim: int) -> Tuple[int, ...]:
+    if isinstance(tensor_size, int):
+        return (tensor_size,) * dim
+    assert len(tensor_size) == dim
+    return tuple(tensor_size)
+
+
+def grid_to_spatial(grid, spatial):
+    """[B, H, G, F] -> [B, *spatial, H*F] (channel order c = h*F + f)."""
+    b, h, g, f = grid.shape
+    return grid.transpose(0, 2, 1, 3).reshape((b,) + tuple(spatial) + (h * f,))
+
+
+def spatial_to_grid(x, heads):
+    """[B, *spatial, H*F] -> [B, H, G, F]."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    g = int(np.prod(x.shape[1:-1]))
+    return x.reshape(b, g, heads, c // heads).transpose(0, 2, 1, 3)
+
+
+def _bn(train, scale_init=nn.initializers.ones, name=None):
+    """BatchNorm with torch hyperparameters (momentum 0.1 -> flax 0.9)."""
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, scale_init=scale_init, name=name)
+
+
+class GridKeysValues(nn.Module):
+    """Shared key/value prediction head: 1x1 conv + key/value BN + learned
+    frame + tanh -> lattice coords, plus the splat inputs."""
+
+    in_feature_dim: int
+    tensor_dim: int
+    heads: int
+    scales: bool = False
+
+    @nn.compact
+    def __call__(self, x, orig_pcd, train=True):
+        h, f = self.heads, self.in_feature_dim
+        b, p, _ = x.shape
+        kv = nn.Dense(h * (f + 3), use_bias=False,
+                      kernel_init=torch_kernel_init(), name="keys_values_pred")(x)
+        keys_res = _bn(train, scale_init=nn.initializers.zeros,
+                       name="key_bn")(kv[..., : h * 3])
+        values = _bn(train, name="values_bn")(kv[..., h * 3:])
+
+        keys3 = orig_pcd[:, :, None, :] + keys_res.reshape(b, p, h, 3)
+        transform = (VolTransformer if self.tensor_dim == 3
+                     else PlaneTransformer)(h, scales=self.scales,
+                                            name="transform")
+        keys = transform(keys3)  # [B, P, H, dim]
+        lattice = jnp.tanh(keys)
+        return lattice, keys, values
+
+
+def head_stats(grid, keys, in_feature_dim, heads):
+    """Occupancy / key statistics logged per block (multihead_ct.py:103-113).
+
+    Normalization matches the reference: occupied-cell count divided by
+    B * F * H (i.e. average occupied cells per head-channel)."""
+    b = grid.shape[0]
+    occ = (jnp.abs(grid) > 1e-9).sum() / (b * in_feature_dim * heads)
+    return {
+        "occupancy": jax.lax.stop_gradient(occ.astype(jnp.float32)),
+        "key_mean": jax.lax.stop_gradient(jnp.mean(keys)),
+        "key_var": jax.lax.stop_gradient(jnp.var(keys)),
+    }
+
+
+class MultiHead(nn.Module):
+    """One Splat -> grouped 3x3 conv -> Slice unit (multihead_ct.py:9-118)."""
+
+    in_feature_dim: int
+    tensor_size: TensorSize
+    tensor_dim: int
+    heads: int
+    scales: bool = False
+
+    @nn.compact
+    def __call__(self, x, orig_pcd, pts_mask=None, train=True,
+                 return_lattice=False):
+        h, f, dim = self.heads, self.in_feature_dim, self.tensor_dim
+        sizes = _sizes(self.tensor_size, dim)
+        g = int(np.prod(sizes))
+
+        lattice, keys, values = GridKeysValues(
+            in_feature_dim=f, tensor_dim=dim, heads=h, scales=self.scales,
+            name="kv")(x, orig_pcd, train)
+        w, idx = grid_positions(lattice, sizes, dim)
+        grid = splat_max(w, idx, values, heads=h, grid_cells=g,
+                         pts_mask=pts_mask)
+        stats = head_stats(grid, keys, f, h)
+
+        gs = grid_to_spatial(grid, sizes)
+        gs = nn.Conv(h * f, kernel_size=(3,) * dim, padding=1,
+                     feature_group_count=h, use_bias=True,
+                     kernel_init=torch_kernel_init(),
+                     bias_init=torch_bias_init(f * 3 ** dim),
+                     name="conv")(gs)
+        convolved = spatial_to_grid(gs, h)
+
+        out = slice_grid(w, idx, convolved, heads=h, pts_mask=pts_mask)
+        out = nn.relu(_bn(train, name="after_bn")(out))
+        if return_lattice:
+            return (out, lattice), stats
+        return out, stats
+
+
+class MultiHeadUnion(nn.Module):
+    """Residual union of parallel MultiHeads on different grids
+    (multihead_ct.py:121-198)."""
+
+    model_dim: int
+    features_dims: Sequence[int]
+    tensor_sizes: Sequence[TensorSize]
+    tensor_dims: Sequence[int]
+    heads: Sequence[int]
+    model_dim_out: Optional[int] = None
+    scales: bool = False
+
+    @nn.compact
+    def __call__(self, x, orig_pcd, pts_mask=None, train=True):
+        assert len(self.features_dims) == len(self.tensor_sizes)
+        assert len(self.features_dims) == len(self.tensor_dims)
+        assert len(self.features_dims) == len(self.heads)
+        out_dim = (self.model_dim if self.model_dim_out is None
+                   else self.model_dim_out)
+
+        if self.model_dim != out_dim:
+            residual = nn.Dense(out_dim, use_bias=False,
+                                kernel_init=torch_kernel_init(),
+                                name="shortcut_conv")(x)
+            residual = _bn(train, name="shortcut_bn")(residual)
+        else:
+            residual = x
+
+        results, stats = [], []
+        for i, (fd, ts, td, hd) in enumerate(zip(
+                self.features_dims, self.tensor_sizes, self.tensor_dims,
+                self.heads)):
+            r, s = MultiHead(in_feature_dim=fd, tensor_size=ts, tensor_dim=td,
+                             heads=hd, scales=self.scales,
+                             name=f"attention_{i}")(
+                x, orig_pcd, pts_mask=pts_mask, train=train)
+            results.append(r)
+            stats.append(s)
+
+        gathered = jnp.concatenate(results, axis=-1)
+        gathered = nn.Dense(out_dim, use_bias=False,
+                            kernel_init=torch_kernel_init(),
+                            name="after_conv")(gathered)
+        gathered = nn.relu(_bn(train, name="after_bn")(gathered))
+        return residual + gathered, stats
+
+
+class MultiHeadPool(nn.Module):
+    """Splat-only head: points -> raw per-head grid ``[B, *spatial, H*F]``
+    (multihead_ct_pool.py:9-86) — the point-to-dense transition before conv
+    trunks."""
+
+    in_feature_dim: int
+    tensor_size: TensorSize
+    tensor_dim: int
+    heads: int
+    scales: bool = False
+
+    @nn.compact
+    def __call__(self, x, orig_pcd, pts_mask=None, train=True,
+                 return_lattice=False):
+        h, f, dim = self.heads, self.in_feature_dim, self.tensor_dim
+        sizes = _sizes(self.tensor_size, dim)
+        g = int(np.prod(sizes))
+
+        lattice, keys, values = GridKeysValues(
+            in_feature_dim=f, tensor_dim=dim, heads=h, scales=self.scales,
+            name="kv")(x, orig_pcd, train)
+        w, idx = grid_positions(lattice, sizes, dim)
+        grid = splat_max(w, idx, values, heads=h, grid_cells=g,
+                         pts_mask=pts_mask)
+        stats = head_stats(grid, keys, f, h)
+        out = grid_to_spatial(grid, sizes)
+        if return_lattice:
+            return (out, lattice), stats
+        return out, stats

@@ -1,0 +1,124 @@
+"""AdaIN-conditioned MHCT blocks (generative decoder variants).
+
+Reference: /root/reference/layers/multihead_ct_adain.py.  Same structure as
+the plain blocks but every normalization is adaptive-instance-norm driven by a
+latent ``z``, and the key offsets are multiplied by a learned scalar ``scale``
+initialized to 0 (multihead_ct_adain.py:90,112) — so decoder keys start at
+exactly the input geometry.  Train scripts give ``*.scale`` parameters their
+own learning rate (train_classification.py:114-121); see train/optim.py.
+"""
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from cloud_transformers_tpu.core import grid_positions, splat_max, slice_grid
+from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
+from cloud_transformers_tpu.nn.multihead import (
+    TensorSize,
+    _sizes,
+    grid_to_spatial,
+    spatial_to_grid,
+    head_stats,
+)
+from cloud_transformers_tpu.nn.norm import AdaIn1d
+from cloud_transformers_tpu.nn.transforms import VolTransformer, PlaneTransformer
+
+
+class MultiHeadAdaIn(nn.Module):
+    """Splat -> grouped conv -> Slice with AdaIN everywhere
+    (multihead_ct_adain.py:19-136)."""
+
+    in_feature_dim: int
+    tensor_size: TensorSize
+    tensor_dim: int
+    heads: int
+    scales: bool = False
+
+    @nn.compact
+    def __call__(self, x, z, orig_pcd, train=True, return_lattice=False):
+        h, f, dim = self.heads, self.in_feature_dim, self.tensor_dim
+        sizes = _sizes(self.tensor_size, dim)
+        g = int(np.prod(sizes))
+        b, p, _ = x.shape
+
+        kv = nn.Dense(h * (f + 3), use_bias=False,
+                      kernel_init=torch_kernel_init(),
+                      name="keys_values_pred")(x)
+        keys_res = AdaIn1d(h * 3, name="keys_adain")(kv[..., : h * 3], z)
+        values = AdaIn1d(h * f, name="values_adain")(kv[..., h * 3:], z)
+
+        # learned scalar on key offsets, init 0 (multihead_ct_adain.py:90,112)
+        scale = self.param("scale", nn.initializers.zeros, ())
+        keys3 = (orig_pcd[:, :, None, :]
+                 + scale * keys_res.reshape(b, p, h, 3))
+        transform = (VolTransformer if dim == 3 else PlaneTransformer)(
+            h, scales=self.scales, name="transform")
+        keys = transform(keys3)
+        lattice = jnp.tanh(keys)
+
+        w, idx = grid_positions(lattice, sizes, dim)
+        grid = splat_max(w, idx, values, heads=h, grid_cells=g)
+        stats = head_stats(grid, keys, f, h)
+
+        gs = grid_to_spatial(grid, sizes)
+        gs = nn.Conv(h * f, kernel_size=(3,) * dim, padding=1,
+                     feature_group_count=h, use_bias=True,
+                     kernel_init=torch_kernel_init(),
+                     bias_init=torch_bias_init(f * 3 ** dim),
+                     name="conv")(gs)
+        convolved = spatial_to_grid(gs, h)
+
+        out = slice_grid(w, idx, convolved, heads=h)
+        out = nn.relu(AdaIn1d(h * f, name="after_adain")(out, z))
+        if return_lattice:
+            return (out, lattice), stats
+        return out, stats
+
+
+class MultiHeadUnionAdaIn(nn.Module):
+    """Residual union of AdaIN heads (multihead_ct_adain.py:139-218)."""
+
+    model_dim: int
+    features_dims: Sequence[int]
+    tensor_sizes: Sequence[TensorSize]
+    tensor_dims: Sequence[int]
+    heads: Sequence[int]
+    model_dim_out: Optional[int] = None
+    scales: bool = False
+
+    @nn.compact
+    def __call__(self, x, z, orig_pcd, train=True):
+        assert len(self.features_dims) == len(self.tensor_sizes)
+        assert len(self.features_dims) == len(self.tensor_dims)
+        assert len(self.features_dims) == len(self.heads)
+        out_dim = (self.model_dim if self.model_dim_out is None
+                   else self.model_dim_out)
+
+        if self.model_dim != out_dim:
+            residual = nn.Dense(out_dim, use_bias=False,
+                                kernel_init=torch_kernel_init(),
+                                name="shortcut_conv")(x)
+            residual = AdaIn1d(out_dim, name="shortcut_adain")(residual, z)
+        else:
+            residual = x
+
+        results, stats = [], []
+        for i, (fd, ts, td, hd) in enumerate(zip(
+                self.features_dims, self.tensor_sizes, self.tensor_dims,
+                self.heads)):
+            r, s = MultiHeadAdaIn(in_feature_dim=fd, tensor_size=ts,
+                                  tensor_dim=td, heads=hd, scales=self.scales,
+                                  name=f"attention_{i}")(
+                x, z, orig_pcd, train=train)
+            results.append(r)
+            stats.append(s)
+
+        gathered = jnp.concatenate(results, axis=-1)
+        gathered = nn.Dense(out_dim, use_bias=False,
+                            kernel_init=torch_kernel_init(),
+                            name="after_conv")(gathered)
+        gathered = nn.relu(AdaIn1d(out_dim, name="after_adain")(gathered, z))
+        return residual + gathered, stats

@@ -1,0 +1,53 @@
+"""Orbax checkpointing with the reference's {periodic, per-epoch, best}
+policy.
+
+Reference behavior: torch.save per object to ``{exp}/{name}_{epoch}_{n}.t7``
+every ``save_each`` iters / ``save_each_epoch`` epochs plus metric-gated
+``best`` / ``macc_best`` checkpoints (utils/train_util.py:74-79,
+train_classification.py:262-284,362-374); restore with optional optimizer
+state and LR override (train_util.py:82-118, restore.new_lr).
+"""
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, exp_dir: str, max_to_keep: int = 5):
+        self.exp_dir = os.path.abspath(exp_dir)
+        os.makedirs(self.exp_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, tag) -> str:
+        return os.path.join(self.exp_dir, f"ckpt_{tag}")
+
+    def save(self, state, tag, force=True):
+        """Save a TrainState under a tag ('latest', 'best', an epoch number,
+        or an iteration count)."""
+        path = self._path(tag)
+        self._ckptr.save(path, jax.device_get(state), force=force)
+        self._ckptr.wait_until_finished()
+        return path
+
+    def restore(self, state, tag="latest", path: Optional[str] = None):
+        """Restore into the (abstract) structure of ``state``."""
+        path = path or self._path(tag)
+        target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
+        return self._ckptr.restore(path, target)
+
+    def exists(self, tag="latest") -> bool:
+        return os.path.isdir(self._path(tag))
+
+
+def restore_params_only(ckpt_path: str, state):
+    """Restore model params/batch-stats but keep fresh optimizer state — the
+    equivalent of the reference's model-only ``restore_exp``
+    (utils/train_util.py:82-96)."""
+    mgr = CheckpointManager(os.path.dirname(ckpt_path))
+    tag = os.path.basename(ckpt_path).replace("ckpt_", "")
+    restored = mgr.restore(state, tag=tag)
+    return state.replace(params=restored.params,
+                         batch_stats=restored.batch_stats)
