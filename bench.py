@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: ScanObjectNN classifier inference throughput (north-star,
+BASELINE.md) + fused splat+slice throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The reference publishes no GPU throughput numbers (BASELINE.md), so
+``vs_baseline`` is measured against the recorded value of the previous round
+when available (bench_baseline.json), else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def measure(fn, *args, iters=20, warmup=3):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_classifier_inference(batch=32, points=2048):
+    import jax
+    from cloud_transformers_tpu.models import get_model
+
+    model = get_model("scanobject_classifier", n_classes=15)
+    pcd = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3))
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           pcd, train=False))()
+    fwd = jax.jit(lambda v, p: model.apply(v, p, train=False)[0])
+    dt = measure(fwd, variables, pcd)
+    return batch / dt, dt
+
+
+def bench_splat_slice(batch=8, points=2048, heads=16, feat=8, size=32):
+    """Fused positions+splat+slice round trip, Mpoints/sec (counting each
+    cloud point once per head group)."""
+    import jax
+    import jax.numpy as jnp
+    from cloud_transformers_tpu.core import (grid_positions, splat_max,
+                                             slice_grid)
+
+    key = jax.random.PRNGKey(0)
+    keys = jnp.tanh(jax.random.normal(key, (batch, points, heads, 3)))
+    values = jax.random.normal(key, (batch, points, heads * feat))
+    g = size ** 3
+
+    @jax.jit
+    def fused(keys, values):
+        w, idx = grid_positions(keys, size, 3)
+        grid = splat_max(w, idx, values, heads=heads, grid_cells=g)
+        return slice_grid(w, idx, grid, heads=heads)
+
+    dt = measure(fused, keys, values)
+    return batch * points * heads / dt / 1e6, dt
+
+
+def main():
+    t_start = time.time()
+    clouds_per_sec, dt_cls = bench_classifier_inference()
+    mpts, dt_ss = bench_splat_slice()
+
+    baseline_path = os.path.join(os.path.dirname(__file__),
+                                 "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        try:
+            base = json.load(open(baseline_path))
+            if base.get("value"):
+                vs = clouds_per_sec / float(base["value"])
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": "clouds/sec/chip (ScanObjectNN infer)",
+        "value": round(clouds_per_sec, 1),
+        "unit": "clouds/sec",
+        "vs_baseline": round(vs, 3),
+        "splat_slice_mpoints_per_sec": round(mpts, 1),
+        "classifier_ms_per_batch32": round(dt_cls * 1e3, 3),
+        "splat_slice_ms": round(dt_ss * 1e3, 3),
+        "bench_wall_sec": round(time.time() - t_start, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

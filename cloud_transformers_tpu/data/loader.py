@@ -1,0 +1,80 @@
+"""Minimal host-side data loader: shuffling, batching, prefetch, host sharding.
+
+Replaces torch ``DataLoader`` + ``DistributedSampler``
+(train_classification.py:65-90).  Datasets are map-style (``__len__`` /
+``__getitem__`` returning a dict of numpy arrays).  Batches are stacked numpy
+dicts, ready for ``parallel.shard_batch``.  Multi-host training shards the
+*index space* per process (the DistributedSampler equivalent) — each host
+loads only its slice and GSPMD sees a per-host batch shard.
+"""
+
+import queue
+import threading
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0,
+                 drop_last=True, num_workers=0, process_index=0,
+                 process_count=1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = max(2, num_workers)
+
+    def set_epoch(self, epoch):
+        """Reseed shuffling per epoch (DistributedSampler.set_epoch
+        equivalent, train_classification.py:182)."""
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.process_count
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # pad so every process sees the same number of samples
+        per = -(-n // self.process_count)
+        if per * self.process_count > n:
+            idx = np.concatenate([idx, idx[: per * self.process_count - n]])
+        return idx[self.process_index::self.process_count]
+
+    def _collate(self, items):
+        out = {}
+        for k in items[0]:
+            out[k] = np.stack([it[k] for it in items])
+        return out
+
+    def __iter__(self):
+        idx = self._indices()
+        nb = len(idx) // self.batch_size if self.drop_last else \
+            -(-len(idx) // self.batch_size)
+
+        def produce(q):
+            try:
+                for b in range(nb):
+                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    q.put(self._collate([self.dataset[int(i)] for i in sel]))
+            finally:
+                q.put(None)
+
+        q = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

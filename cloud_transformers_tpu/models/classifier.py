@@ -37,13 +37,84 @@ def mhct_block_configs(repeats=4):
     return blocks
 
 
-class ClassifierBackbone(nn.Module):
-    """Stem + 12 MHCT blocks + dual pool trunks -> (per-point features,
-    2048-d pooled vector, stats). Shared by the classifier and the
-    completion encoder (inpainter.py:23-116)."""
+class MHCTStage(nn.Module):
+    """One repeat of the 3-union pattern — the cell body for nn.scan."""
 
     model_dim: int = 512
     scales: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x, pcd, pts_mask):
+        stats = []
+        for i, cfg in enumerate(mhct_block_configs(repeats=1)):
+            x, s = MultiHeadUnion(model_dim=self.model_dim,
+                                  model_dim_out=self.model_dim,
+                                  scales=self.scales, name=f"union_{i}",
+                                  **cfg)(x, pcd, pts_mask, self.train)
+            stats += s
+        stacked = {k: jnp.stack([s[k] for s in stats]) for k in stats[0]}
+        return x, stacked
+
+
+class MHCTTrunk(nn.Module):
+    """The 12-block trunk as a scanned (and rematerialized) 4x stage loop.
+
+    TPU-first design choice: the reference unrolls 12 structurally identical
+    blocks (classifier.py:46-63); under XLA that multiplies compile time by
+    the block count.  ``nn.scan`` compiles the 3-union stage once and loops
+    it, and ``nn.remat`` recomputes stage activations in the backward pass —
+    the pre-splat/gather buffers of all 24 head groups otherwise exceed HBM.
+    """
+
+    model_dim: int = 512
+    scales: bool = False
+    remat: bool = True
+    scan: bool = True
+    repeats: int = 4
+
+    @nn.compact
+    def __call__(self, x, pcd, pts_mask, train=True):
+        cell = MHCTStage
+        if self.remat:
+            cell = nn.remat(cell, prevent_cse=False)
+        if not self.scan:
+            stats = []
+            for r in range(self.repeats):
+                x, s = cell(model_dim=self.model_dim, scales=self.scales,
+                            train=train, name=f"stage_{r}")(x, pcd, pts_mask)
+                stats += [{k: s[k][i] for k in s}
+                          for i in range(next(iter(s.values())).shape[0])]
+            return x, stats
+        scan = nn.scan(
+            cell,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=self.repeats,
+            metadata_params={nn.PARTITION_NAME: None},
+        )
+        x, stats_sc = scan(model_dim=self.model_dim, scales=self.scales,
+                           train=train, name="stages")(x, pcd, pts_mask)
+        # unstack [repeats, 6] back into the reference's flat 12x2 stats list
+        n = next(iter(stats_sc.values())).shape[1]
+        stats = [{k: stats_sc[k][r, i] for k in stats_sc}
+                 for r in range(self.repeats) for i in range(n)]
+        return x, stats
+
+
+class ClassifierBackbone(nn.Module):
+    """Stem + 12 MHCT blocks + dual pool trunks -> (per-point features,
+    2048-d pooled vector, stats). Shared by the classifier and the
+    completion encoder (inpainter.py:23-116).
+
+    ``remat`` checkpoints each union block (recompute in backward): the
+    12-block trunk's pre-splat/gather activations otherwise exceed single-chip
+    HBM at training batch sizes — the standard XLA memory/FLOPs trade."""
+
+    model_dim: int = 512
+    scales: bool = False
+    remat: bool = True
 
     @nn.compact
     def __call__(self, pcd, train=True):
@@ -51,13 +122,9 @@ class ClassifierBackbone(nn.Module):
                      kernel_init=torch_kernel_init(), name="stem")(pcd)
         x = nn.relu(_bn(train, name="stem_bn")(x))
 
-        stats = []
-        for i, cfg in enumerate(mhct_block_configs()):
-            x, s = MultiHeadUnion(model_dim=self.model_dim,
-                                  model_dim_out=self.model_dim,
-                                  scales=self.scales, name=f"union_{i}",
-                                  **cfg)(x, pcd, train=train)
-            stats += s
+        x, stats = MHCTTrunk(model_dim=self.model_dim, scales=self.scales,
+                             remat=self.remat, name="trunk")(
+            x, pcd, None, train)
 
         res = x
 

@@ -35,21 +35,53 @@ class CompletionEncoder(nn.Module):
         return z, stats
 
 
-class AdaInDecoder(nn.Module):
-    """Shared AdaIN decoder trunk: start conv + 12 MultiHeadUnionAdaIn blocks
-    (inpainter.py:130-155 / reconstructor.py:38-63)."""
+class AdaInStage(nn.Module):
+    """One repeat of the 3-AdaIN-union pattern (scan cell body)."""
 
     model_dim: int = 512
+    train: bool = True
 
     @nn.compact
-    def __call__(self, x, z, keys_xyz, train=True):
+    def __call__(self, x, z, keys_xyz):
+        import jax.numpy as jnp
         stats = []
-        for i, cfg in enumerate(mhct_block_configs()):
+        for i, cfg in enumerate(mhct_block_configs(repeats=1)):
             x, s = MultiHeadUnionAdaIn(model_dim=self.model_dim,
                                        model_dim_out=self.model_dim,
                                        name=f"union_{i}", **cfg)(
-                x, z, keys_xyz, train=train)
+                x, z, keys_xyz, self.train)
             stats += s
+        stacked = {k: jnp.stack([s[k] for s in stats]) for k in stats[0]}
+        return x, stacked
+
+
+class AdaInDecoder(nn.Module):
+    """Shared AdaIN decoder trunk: 12 MultiHeadUnionAdaIn blocks as a
+    scanned+rematerialized 4x stage loop (inpainter.py:130-155 /
+    reconstructor.py:38-63; see MHCTTrunk for the scan rationale)."""
+
+    model_dim: int = 512
+    remat: bool = True
+    repeats: int = 4
+
+    @nn.compact
+    def __call__(self, x, z, keys_xyz, train=True):
+        cell = AdaInStage
+        if self.remat:
+            cell = nn.remat(cell, prevent_cse=False)
+        scan = nn.scan(
+            cell,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=self.repeats,
+            metadata_params={nn.PARTITION_NAME: None},
+        )
+        x, stats_sc = scan(model_dim=self.model_dim, train=train,
+                           name="stages")(x, z, keys_xyz)
+        n = next(iter(stats_sc.values())).shape[1]
+        stats = [{k: stats_sc[k][r, i] for k in stats_sc}
+                 for r in range(self.repeats) for i in range(n)]
         return x, stats
 
 

@@ -12,15 +12,16 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cloud_transformers_tpu.models import register
-from cloud_transformers_tpu.models.classifier import mhct_block_configs
+from cloud_transformers_tpu.models.classifier import MHCTTrunk
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
-from cloud_transformers_tpu.nn.multihead import MultiHeadUnion, _bn
+from cloud_transformers_tpu.nn.multihead import _bn
 
 
 class _SegmenterBase(nn.Module):
     n_classes: int = 13
     in_channels: int = 6
     model_dim: int = 512
+    remat: bool = True
 
     @nn.compact
     def _forward(self, pcd_features, xyz, pts_mask, train):
@@ -30,13 +31,8 @@ class _SegmenterBase(nn.Module):
                      name="stem")(pcd_features)
         x = nn.relu(_bn(train, name="stem_bn")(x))
 
-        stats = []
-        for i, cfg in enumerate(mhct_block_configs()):
-            x, s = MultiHeadUnion(model_dim=self.model_dim,
-                                  model_dim_out=self.model_dim,
-                                  name=f"union_{i}", **cfg)(
-                x, xyz, pts_mask=pts_mask, train=train)
-            stats += s
+        x, stats = MHCTTrunk(model_dim=self.model_dim, remat=self.remat,
+                             name="trunk")(x, xyz, pts_mask, train)
 
         x = nn.Dense(self.model_dim, use_bias=False,
                      kernel_init=torch_kernel_init(), name="final_conv1")(x)

@@ -23,6 +23,7 @@ def setup_logger(name="cloud_transformers_tpu"):
             "[%(asctime)s %(name)s]: %(message)s", datefmt="%m/%d %H:%M:%S"))
         logger.addHandler(h)
         logger.setLevel(logging.INFO)
+        logger.propagate = False  # the root logger double-prints otherwise
     return logger
 
 

@@ -1,0 +1,179 @@
+"""Generic data-parallel trainer: pjit step, on-device metrics, checkpoints.
+
+Replaces the reference's per-task DDP loops (train_*.py + utils/
+train_util_distributed.py).  Key differences by design (SURVEY.md §3):
+
+* one process drives all local devices; the batch is sharded over the mesh's
+  'data' axis, so DDP gradient all-reduce, SyncBN statistics, and the
+  reference's ``reduce_loss_dict``/pickle-``all_gather`` (D2H every step) all
+  collapse into GSPMD-inserted collectives with metrics staying on device;
+* checkpoints are Orbax with the same {periodic, per-epoch, best} policy;
+* the LR schedule is folded into optax (StepLR per global step).
+
+Task scripts provide a ``loss_fn(apply_fn, variables, batch, rng, train) ->
+(loss, aux_metrics, new_batch_stats)`` and optionally an eval step.
+"""
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from cloud_transformers_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from cloud_transformers_tpu.train.checkpoint import CheckpointManager
+from cloud_transformers_tpu.train.config import experiment_dirs
+from cloud_transformers_tpu.train.logging import MetricLogger, setup_logger
+from cloud_transformers_tpu.train.optim import make_optimizer
+from cloud_transformers_tpu.train.state import TrainState, create_train_state
+
+LossFn = Callable[..., Any]
+
+
+class Trainer:
+    def __init__(self, model, cfg, exp_name, loss_fn: LossFn,
+                 sample_args, eval_fn: Optional[LossFn] = None,
+                 config_path=None, mesh=None, seed=0):
+        self.model = model
+        self.cfg = cfg
+        self.loss_fn = loss_fn
+        self.eval_fn = eval_fn or loss_fn
+        self.logger = setup_logger()
+        self.mesh = mesh if mesh is not None else make_mesh(n_points=1)
+        self.rng = jax.random.PRNGKey(seed)
+
+        exp_dir, writer_dir = experiment_dirs(cfg, exp_name)
+        self.exp_dir = exp_dir
+        self.metrics = MetricLogger(writer_dir, exp_dir, config_path,
+                                    is_main_process=jax.process_index() == 0)
+        self.ckpt = CheckpointManager(exp_dir)
+
+        tx = make_optimizer(cfg["train"])
+        self.state = create_train_state(model, sample_args, tx,
+                                        rng=self.rng, train=True)
+        if "scale_lr" in cfg["train"]:
+            # rebuild with param labels now that params exist
+            tx = make_optimizer(cfg["train"], self.state.params)
+            self.state = self.state.replace(
+                tx=tx, opt_state=tx.init(self.state.params))
+        self.state = replicate(self.mesh, self.state)
+        self.global_step = 0
+        self.epoch = 0
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+        # optional restore (cfg['restore'] section, train_util.py:82-118)
+        restore = cfg.get("restore")
+        if restore and restore.get("generator"):
+            from cloud_transformers_tpu.train.checkpoint import (
+                restore_params_only)
+            self.state = restore_params_only(restore["generator"], self.state)
+            self.logger.info("restored params from %s", restore["generator"])
+
+    # --- steps -----------------------------------------------------------
+    def _train_step_impl(self, state, batch, rng):
+        def compute(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            loss, aux, new_stats = self.loss_fn(
+                state.apply_fn, variables, batch, rng, True)
+            return loss, (aux, new_stats)
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, {"loss": loss, **aux}
+
+    def _eval_step_impl(self, state, batch, rng):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        loss, aux, _ = self.eval_fn(state.apply_fn, variables, batch, rng,
+                                    False)
+        return {"loss": loss, **aux}
+
+    def train_step(self, batch):
+        self.rng, step_rng = jax.random.split(self.rng)
+        batch = shard_batch(self.mesh, batch)
+        self.state, metrics = self._train_step(self.state, batch, step_rng)
+        self.global_step += 1
+        return metrics
+
+    def eval_step(self, batch):
+        self.rng, step_rng = jax.random.split(self.rng)
+        batch = shard_batch(self.mesh, batch)
+        return self._eval_step(self.state, batch, step_rng)
+
+    # --- loop ------------------------------------------------------------
+    def fit(self, train_loader, val_loader=None,
+            eval_hook: Optional[Callable] = None,
+            num_epochs: Optional[int] = None, max_steps: Optional[int] = None):
+        """Run the reference's epoch loop: periodic logging/ckpt, validation
+        every ``val_step`` epochs, best-metric checkpoints."""
+        tcfg = self.cfg["train"]
+        num_epochs = num_epochs or int(tcfg.get("num_epochs", 1))
+        show_each = int(tcfg.get("show_each", 100))
+        save_each = int(tcfg.get("save_each", 0))
+        save_each_epoch = int(tcfg.get("save_each_epoch", 1))
+        val_step = int(tcfg.get("val_step", 1))
+        save = bool(tcfg.get("save", True))
+        best = -np.inf
+
+        for epoch in range(self.epoch, num_epochs):
+            self.epoch = epoch
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            window = []
+            for batch in train_loader:
+                metrics = self.train_step(batch)
+                window.append(metrics)
+                if self.global_step % show_each == 0:
+                    host = {k: float(np.mean([float(m[k]) for m in window]))
+                            for k in window[0] if np.ndim(window[0][k]) == 0}
+                    window = []
+                    host["steps_per_sec"] = show_each / (time.time() - t0)
+                    t0 = time.time()
+                    self.metrics.scalars(self.global_step, host,
+                                         prefix="train/")
+                    self.logger.info(
+                        "epoch %d step %d: %s", epoch, self.global_step,
+                        {k: round(v, 4) for k, v in host.items()})
+                if save and save_each and self.global_step % save_each == 0:
+                    self.ckpt.save(self.state, "latest")
+                if max_steps and self.global_step >= max_steps:
+                    return self.state
+
+            if save and (epoch + 1) % save_each_epoch == 0:
+                self.ckpt.save(self.state, "latest")
+
+            if val_loader is not None and (epoch + 1) % val_step == 0:
+                val_metrics = self.validate(val_loader, eval_hook)
+                self.metrics.scalars(self.global_step, val_metrics,
+                                     prefix="val/")
+                self.logger.info("epoch %d val: %s", epoch,
+                                 {k: round(float(v), 4)
+                                  for k, v in val_metrics.items()
+                                  if np.ndim(v) == 0})
+                key = self.cfg["train"].get("best_metric", "loss")
+                score = -val_metrics.get(key, np.inf) \
+                    if key == "loss" else val_metrics.get(key, -np.inf)
+                if save and score > best:
+                    best = score
+                    self.ckpt.save(self.state, "best")
+        return self.state
+
+    def validate(self, val_loader, eval_hook=None):
+        """Average eval metrics over the loader; ``eval_hook(batch, metrics)``
+        can accumulate task-specific statistics (confusion matrices, ...)."""
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in val_loader:
+            m = self.eval_step(batch)
+            if eval_hook is not None:
+                eval_hook(batch, m)
+            for k, v in m.items():
+                if np.ndim(v) == 0:
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}

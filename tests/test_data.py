@@ -1,0 +1,180 @@
+"""Data pipeline tests: loaders, augmentations, IO, subsampling, KPConv
+protocol pieces."""
+
+import numpy as np
+import pytest
+
+from cloud_transformers_tpu.data import (
+    DataLoader,
+    ScanObjectNN,
+    Indoor3DSemSeg,
+    ShapeNetCompletion,
+    ImageToPoint,
+)
+from cloud_transformers_tpu.data import augment
+from cloud_transformers_tpu.data.pointcloud_io import (
+    read_pcd, read_ply, write_pcd)
+from cloud_transformers_tpu.data.subsample import grid_subsampling
+
+
+class TestLoader:
+    def test_batching_and_shuffling(self):
+        ds = ScanObjectNN(None, train=False, num_points=32,
+                          synthetic_items=20)
+        loader = DataLoader(ds, 8, shuffle=True, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["pcd"].shape == (8, 32, 3)
+        loader.set_epoch(1)
+        batches2 = list(loader)
+        assert not np.allclose(batches[0]["pcd"], batches2[0]["pcd"])
+
+    def test_process_sharding_partitions_data(self):
+        ds = ScanObjectNN(None, train=False, num_points=16,
+                          synthetic_items=32)
+        l0 = DataLoader(ds, 4, shuffle=False, process_index=0,
+                        process_count=2)
+        l1 = DataLoader(ds, 4, shuffle=False, process_index=1,
+                        process_count=2)
+        assert len(l0) == len(l1) == 4
+        b0 = next(iter(l0))
+        b1 = next(iter(l1))
+        assert not np.allclose(b0["pcd"], b1["pcd"])
+
+
+class TestAugment:
+    def test_rotate_preserves_norms(self, rng):
+        p = rng.randn(100, 3).astype(np.float32)
+        q = augment.rotate_y(p, rng)
+        np.testing.assert_allclose(np.linalg.norm(q, axis=1),
+                                   np.linalg.norm(p, axis=1), rtol=1e-5)
+
+    def test_normalize(self, rng):
+        p = rng.randn(100, 3).astype(np.float32) * 7
+        q = augment.normalize_unit_sphere(augment.center(p))
+        assert abs(np.linalg.norm(q, axis=1).max() - 1.0) < 1e-5
+
+    def test_hsv_roundtrip(self, rng):
+        from cloud_transformers_tpu.data.s3dis import _rgb_to_hsv, _hsv_to_rgb
+        c = rng.rand(50, 3).astype(np.float32)
+        np.testing.assert_allclose(_hsv_to_rgb(_rgb_to_hsv(c)), c, atol=1e-5)
+
+
+class TestIO:
+    def test_pcd_roundtrip(self, tmp_path, rng):
+        pts = rng.randn(100, 3).astype(np.float32)
+        path = str(tmp_path / "a.pcd")
+        write_pcd(path, pts)
+        got = read_pcd(path)
+        np.testing.assert_allclose(got, pts, atol=1e-5)
+
+    def test_ply_ascii(self, tmp_path, rng):
+        pts = rng.randn(10, 3).astype(np.float32)
+        path = tmp_path / "a.ply"
+        with open(path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n"
+                    f"element vertex {len(pts)}\n"
+                    "property float x\nproperty float y\nproperty float z\n"
+                    "end_header\n")
+            np.savetxt(f, pts, fmt="%.6f")
+        np.testing.assert_allclose(read_ply(str(path)), pts, atol=1e-5)
+
+    def test_ply_binary(self, tmp_path, rng):
+        pts = rng.randn(10, 3).astype(np.float32)
+        path = tmp_path / "b.ply"
+        with open(path, "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\n"
+                    + f"element vertex {len(pts)}\n".encode()
+                    + b"property float x\nproperty float y\n"
+                    b"property float z\nend_header\n")
+            f.write(pts.astype("<f4").tobytes())
+        np.testing.assert_allclose(read_ply(str(path)), pts, atol=1e-6)
+
+
+class TestSubsample:
+    def test_native_matches_numpy(self, rng):
+        pts = rng.rand(5000, 3).astype(np.float32)
+        feats = rng.rand(5000, 2).astype(np.float32)
+        labels = rng.randint(0, 13, 5000).astype(np.int32)
+        p1, f1, l1 = grid_subsampling(pts, feats, labels, sampleDl=0.1,
+                                      use_native=True)
+        p2, f2, l2 = grid_subsampling(pts, feats, labels, sampleDl=0.1,
+                                      use_native=False)
+        assert p1.shape == p2.shape
+        # match cells by NN (cell order differs between implementations)
+        from sklearn.neighbors import KDTree
+        d, idx = KDTree(p2).query(p1)
+        assert d.max() < 1e-4
+        np.testing.assert_allclose(f1, f2[idx[:, 0]], atol=1e-4)
+
+    def test_voxel_size_controls_output(self, rng):
+        pts = rng.rand(5000, 3).astype(np.float32)
+        coarse = grid_subsampling(pts, sampleDl=0.5)
+        fine = grid_subsampling(pts, sampleDl=0.05)
+        assert coarse.shape[0] < fine.shape[0] <= 5000
+
+
+class TestDatasets:
+    def test_scanobjectnn_augmented(self):
+        ds = ScanObjectNN(None, train=True, num_points=64, synthetic_items=4)
+        a = ds[0]["pcd"]
+        b = ds[0]["pcd"]
+        assert not np.allclose(a, b)  # train-time aug is random
+
+    def test_s3dis_item(self):
+        ds = Indoor3DSemSeg(None, num_points=128, train=True, aug=True,
+                            synthetic_items=4)
+        item = ds[0]
+        assert item["pcd"].shape == (128, 6)
+        assert item["label"].shape == (128,)
+        assert item["label"].max() < 13
+
+    def test_completion_item(self):
+        ds = ShapeNetCompletion(split="train", n_input=256, n_output=1024,
+                                synthetic_items=2, n_renders=2)
+        item = ds[0]
+        assert item["partial"].shape == (256, 3)
+        assert item["gt"].shape == (1024, 3)
+
+    def test_image_point_item(self):
+        ds = ImageToPoint(None, split="train", im_size=32, points=128,
+                          synthetic_items=2)
+        item = ds[0]
+        assert item["image"].shape == (32, 32, 3)
+        assert item["pcd"].shape == (128, 3)
+
+    def test_kpconv_schedule_covers_epochs(self):
+        from cloud_transformers_tpu.data.s3dis_kpconv import S3DISSeg
+        ds = S3DISSeg(split="val", num_points=64, num_steps=4, num_epochs=2,
+                      in_radius=1.0, subsampling_parameter=0.2,
+                      synthetic_clouds=1)
+        assert len(ds.cloud_inds) == 8
+        item = ds[0]
+        assert item["points"].shape == (64, 3)
+        assert item["features"].shape == (64, 4)
+        ds.set_epoch(1)
+        item2 = ds[0]
+        assert item2["points"].shape == (64, 3)
+
+
+class TestKPConvMetrics:
+    def test_iou_absent_class_substitution(self):
+        from cloud_transformers_tpu.tasks.segmentation_kpconv import (
+            iou_from_confusions)
+        c = np.zeros((3, 3))
+        c[0, 0] = 10  # perfect on class 0
+        c[1, 1] = 5
+        c[1, 0] = 5  # class 1 half right
+        # class 2 absent
+        ious = iou_from_confusions(c)
+        present_mean = np.mean([ious[0], ious[1]])
+        np.testing.assert_allclose(ious[2], present_mean, rtol=1e-4)
+
+    def test_full_metrics_projection(self):
+        from cloud_transformers_tpu.tasks.segmentation_kpconv import (
+            full_metrics)
+        logits = [np.eye(3)[:, [0, 1, 2, 0]].astype(np.float32)]  # [C=3, n=4]
+        proj = [np.array([0, 1, 2, 3, 3])]
+        labels = [np.array([0, 1, 2, 0, 0])]
+        ious, miou = full_metrics(3, logits, proj, labels)
+        np.testing.assert_allclose(miou, 1.0, atol=1e-5)
