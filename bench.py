@@ -19,14 +19,23 @@ import numpy as np
 
 
 def measure(fn, *args, iters=20, warmup=3):
+    """Time fn. Completion is forced by a host readback of a dependent
+    scalar — on this platform's tunneled runtime, block_until_ready can
+    return before device execution finishes."""
     import jax
+    import jax.numpy as jnp
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jnp.sum(leaf))
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 

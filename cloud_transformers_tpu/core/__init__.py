@@ -5,7 +5,14 @@ from cloud_transformers_tpu.core.coords import (
     grid_positions,
 )
 from cloud_transformers_tpu.core.so3 import so3_exponential_map
-from cloud_transformers_tpu.core.splat_slice import splat_max, slice_grid, splat_slice
+from cloud_transformers_tpu.core.splat_slice import (
+    splat_max,
+    slice_grid,
+    splat_conv_slice,
+    splat_max_mapping,
+    slice_grid_mapping,
+)
+from cloud_transformers_tpu.core.grid_mapping import grid_mapping, GridMapping
 from cloud_transformers_tpu.core.noise import sphere_noise, partial_postprocess
 
 __all__ = [
@@ -16,7 +23,11 @@ __all__ = [
     "so3_exponential_map",
     "splat_max",
     "slice_grid",
-    "splat_slice",
+    "splat_conv_slice",
+    "splat_max_mapping",
+    "slice_grid_mapping",
+    "grid_mapping",
+    "GridMapping",
     "sphere_noise",
     "partial_postprocess",
 ]

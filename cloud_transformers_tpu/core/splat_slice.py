@@ -3,24 +3,28 @@
 TPU-native reimplementation of the reference Splat/Slice
 (/root/reference/layers/cloud_transform.py:124-227), channel-last.
 
-Semantics (must match the reference exactly — SURVEY.md §2.1 N4):
+Semantics (match the reference exactly — SURVEY.md §2.1 N4):
 
 * **Splat** is a scatter-**max** of weight-modulated point features into a
-  zero-initialized flat grid.  Because the grid starts at zero, purely negative
-  contributions are clamped to 0, and the gradient flows only to the winning
-  (argmax) contribution of each occupied cell (torch_scatter semantics).  JAX's
-  ``.at[].max`` scatter has exactly this VJP: the zero init is a constant (no
-  grad), and the cotangent routes to the selected update.
+  zero-initialized flat grid.  The zero init clamps purely negative
+  contributions to 0, and the gradient flows only to the winning (argmax)
+  contribution of each occupied cell (torch_scatter semantics; exact ties
+  share the cotangent here, a measure-zero deviation).
 
 * **Slice** gathers the grid values at each point's 2**dim enclosing cell
   vertices and takes the weight-weighted sum.
+
+Implementation: XLA's TPU scatter serializes (~40 cycles/update), so both the
+splat forward and the slice backward (a scatter-add) run on the scatter-free
+sorted segment reduction in ops/segment.py; the remaining pieces are gathers,
+which are fast.  Custom VJPs keep the reference gradient routing.
 
 Layouts:
   weights   [B, P, H, S]   bi/trilinear vertex weights (S = 2**dim)
   flat_idx  [B, P, H, S]   int32 flat cell-vertex indices in [0, G)
   values    [B, P, H*F]    point features, head-major channel order
-  grid      [B, H*F, G]    flat grid (head-major channels); callers reshape to
-                           [B, *spatial, H*F] (channel-last) for convolutions.
+  grid      [B, H, G, F]   flat grids (callers reshape to [B, *spatial, H*F]
+                           channel-last for convolutions).
 """
 
 from functools import partial
@@ -28,12 +32,40 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from cloud_transformers_tpu.ops.segment import segment_reduce_dense
 
-def _scatter_max_one(idx, src, grid_cells):
-    """idx [K], src [K, F] -> [G, F] scatter-max into zeros."""
-    return jnp.zeros((grid_cells, src.shape[-1]), src.dtype).at[idx].max(
-        src, mode="drop", unique_indices=False
-    )
+
+def _gather_rows(grid, idx):
+    """grid [R, G, F], idx [R, K] -> [R, K, F] (fast path: gather)."""
+    return jax.vmap(lambda g, i: jnp.take(g, i, axis=0, mode="clip"))(grid,
+                                                                      idx)
+
+
+# --- splat: segment-max forward, argmax-routed backward -------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _splat_core(pre, idx, grid_cells):
+    """pre [R, K, F], idx [R, K] -> grid [R, G, F] via per-cell max with
+    zero-init clamp."""
+    return segment_reduce_dense(idx, pre, grid_cells, op="max")
+
+
+def _splat_core_fwd(pre, idx, grid_cells):
+    grid = segment_reduce_dense(idx, pre, grid_cells, op="max")
+    return grid, (pre, idx, grid)
+
+
+def _splat_core_bwd(grid_cells, res, g):
+    pre, idx, grid = res
+    winning_val = _gather_rows(grid, idx)  # [R, K, F]
+    # gradient routes to the contribution that equals the cell max, and only
+    # where the max beat the zero init (chamfer of torch_scatter backward)
+    win = (pre == winning_val) & (winning_val > 0.0)
+    d_pre = jnp.where(win, _gather_rows(g, idx), 0.0)
+    return d_pre, None
+
+
+_splat_core.defvjp(_splat_core_fwd, _splat_core_bwd)
 
 
 @partial(jax.jit, static_argnames=("heads", "grid_cells"))
@@ -59,15 +91,36 @@ def splat_max(weights, flat_idx, values, heads, grid_cells, pts_mask=None):
     if pts_mask is not None:
         values = values * pts_mask[:, :, None, None].astype(values.dtype)
 
-    # pre-splat: [B, P, H, S, F]
+    # pre-splat: [B, P, H, S, F] -> rows per (b, h)
     pre = weights[..., None] * values[:, :, :, None, :]
-    # -> [B, H, P*S, F] and [B, H, P*S]
-    pre = pre.transpose(0, 2, 1, 3, 4).reshape(b, h, p * s, f)
-    idx = flat_idx.transpose(0, 2, 1, 3).reshape(b, h, p * s)
+    pre = pre.transpose(0, 2, 1, 3, 4).reshape(b * h, p * s, f)
+    idx = flat_idx.transpose(0, 2, 1, 3).reshape(b * h, p * s)
 
-    scat = jax.vmap(jax.vmap(_scatter_max_one, in_axes=(0, 0, None)),
-                    in_axes=(0, 0, None))
-    return scat(idx, pre, grid_cells)  # [B, H, G, F]
+    grid = _splat_core(pre, idx, grid_cells)
+    return grid.reshape(b, h, grid_cells, f)
+
+
+# --- slice: gather forward, segment-sum backward --------------------------
+
+@jax.custom_vjp
+def _slice_core(grid, idx):
+    """grid [R, G, F], idx [R, K] -> gathered [R, K, F]."""
+    return _gather_rows(grid, idx)
+
+
+def _slice_core_fwd(grid, idx):
+    return _gather_rows(grid, idx), (idx, grid.shape)
+
+
+def _slice_core_bwd(res, g):
+    idx, grid_shape = res
+    # transpose of a row gather is a scatter-add of the cotangents -> the
+    # sorted segment-sum (ops/segment.py), not XLA scatter
+    d_grid = segment_reduce_dense(idx, g, grid_shape[1], op="sum")
+    return d_grid, None
+
+
+_slice_core.defvjp(_slice_core_fwd, _slice_core_bwd)
 
 
 @partial(jax.jit, static_argnames=("heads",))
@@ -86,13 +139,11 @@ def slice_grid(weights, flat_idx, grid, heads, pts_mask=None):
       sliced: [B, P, H*F].
     """
     b, p, h, s = weights.shape
+    g = grid.shape[2]
     f = grid.shape[-1]
-    idx = flat_idx.transpose(0, 2, 1, 3).reshape(b, h, p * s)
+    idx = flat_idx.transpose(0, 2, 1, 3).reshape(b * h, p * s)
 
-    def _gather_one(g, i):  # g [G, F], i [K]
-        return jnp.take(g, i, axis=0, mode="clip")
-
-    gathered = jax.vmap(jax.vmap(_gather_one))(grid, idx)  # [B, H, P*S, F]
+    gathered = _slice_core(grid.reshape(b * h, g, f), idx)  # [R, P*S, F]
     gathered = gathered.reshape(b, h, p, s, f).transpose(0, 2, 1, 3, 4)
     sliced = jnp.sum(gathered * weights[..., None], axis=3)  # [B, P, H, F]
     sliced = sliced.reshape(b, p, h * f)
@@ -101,10 +152,152 @@ def slice_grid(weights, flat_idx, grid, heads, pts_mask=None):
     return sliced
 
 
-def splat_slice(weights, flat_idx, values, heads, grid_cells, conv_fn=None,
+def splat_conv_slice(weights, flat_idx, values, heads, grid_cells, conv_fn=None,
                 pts_mask=None):
     """Fused splat -> (optional grid transform) -> slice convenience wrapper."""
     grid = splat_max(weights, flat_idx, values, heads, grid_cells, pts_mask)
     if conv_fn is not None:
         grid = conv_fn(grid)
     return slice_grid(weights, flat_idx, grid, heads, pts_mask)
+
+
+# ===========================================================================
+# Mapping-based ops: Pallas kernel on TPU, sorted segment reduce elsewhere
+# ===========================================================================
+
+import numpy as _np
+
+# bind the module, not core/__init__'s re-exported grid_mapping *function*
+import cloud_transformers_tpu.core.grid_mapping as _gm
+from cloud_transformers_tpu.ops.pallas_splat import pallas_splat as _pallas_splat
+
+# set to True to force the portable path even on TPU (testing/ablation)
+FORCE_XLA_PATH = False
+
+
+def _scatter_portable(x0, lane0, w_lo, w_hi, values, sizes, op):
+    """Portable vertex scatter: expand the 8 vertices into the K axis and
+    segment-reduce (ops/segment.py)."""
+    mapping = _gm.GridMapping(x0, lane0, w_lo, w_hi)
+    idx = _gm.flat_vertex_indices(mapping, sizes)        # [R, K, 8]
+    w = _gm.vertex_weights(mapping)                      # [R, K, 8]
+    pre = w[..., None] * values[:, :, None, :]           # [R, K, 8, F]
+    r, k, s, f = pre.shape
+    g = int(_np.prod(sizes))
+    idx_flat = idx.transpose(0, 2, 1).reshape(r, s * k)
+    pre_flat = pre.transpose(0, 2, 1, 3).reshape(r, s * k, f)
+    from cloud_transformers_tpu.ops.segment import segment_reduce_dense
+    return segment_reduce_dense(idx_flat, pre_flat, g, op=op)
+
+
+def _scatter_generic(x0, lane0, w_lo, w_hi, values, sizes, op):
+    """Vertex scatter (max or add), lowered per platform: the Pallas kernel
+    on TPU, the sorted segment reduction elsewhere.
+
+    values [R, K, F] -> grid [R, G, F]."""
+    if FORCE_XLA_PATH:
+        return _scatter_portable(x0, lane0, w_lo, w_hi, values, sizes, op)
+    return jax.lax.platform_dependent(
+        x0, lane0, w_lo, w_hi, values,
+        tpu=lambda *a: _pallas_splat(*a, sizes, values.shape[-1], op=op),
+        default=lambda *a: _scatter_portable(*a, sizes, op),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _splat_m(sizes, x0, lane0, w_lo, w_hi, values):
+    return _scatter_generic(x0, lane0, w_lo, w_hi, values, sizes, "max")
+
+
+def _splat_m_fwd(sizes, x0, lane0, w_lo, w_hi, values):
+    grid = _scatter_generic(x0, lane0, w_lo, w_hi, values, sizes, "max")
+    return grid, (x0, lane0, w_lo, w_hi, values, grid)
+
+
+def _splat_m_bwd(sizes, res, g):
+    x0, lane0, w_lo, w_hi, values, grid = res
+    mapping = _gm.GridMapping(x0, lane0, w_lo, w_hi)
+    idx = _gm.flat_vertex_indices(mapping, sizes)      # [R, K, 8]
+    w = _gm.vertex_weights(mapping)                    # [R, K, 8]
+    r, k, s = idx.shape
+    idx2 = idx.reshape(r, k * s)
+    gmax = _gather_rows(grid, idx2).reshape(r, k, s, -1)   # [R, K, 8, F]
+    gg = _gather_rows(g, idx2).reshape(r, k, s, -1)
+    contrib = w[..., None] * values[:, :, None, :]
+    win = (contrib == gmax) & (gmax > 0.0)
+    d_contrib = jnp.where(win, gg, 0.0)                # [R, K, 8, F]
+    d_w = jnp.sum(d_contrib * values[:, :, None, :], axis=-1)  # [R, K, 8]
+    d_values = jnp.sum(d_contrib * w[..., None], axis=2)       # [R, K, F]
+    return (None, None, d_w[..., :4], d_w[..., 4:], d_values)
+
+
+_splat_m.defvjp(_splat_m_fwd, _splat_m_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _slice_m(sizes, x0, lane0, w_lo, w_hi, grid):
+    mapping = _gm.GridMapping(x0, lane0, w_lo, w_hi)
+    idx = _gm.flat_vertex_indices(mapping, sizes)
+    w = _gm.vertex_weights(mapping)
+    r, k, s = idx.shape
+    gathered = _gather_rows(grid, idx.reshape(r, k * s)).reshape(r, k, s, -1)
+    return jnp.sum(gathered * w[..., None], axis=2)     # [R, K, F]
+
+
+def _slice_m_fwd(sizes, x0, lane0, w_lo, w_hi, grid):
+    out = _slice_m(sizes, x0, lane0, w_lo, w_hi, grid)
+    return out, (x0, lane0, w_lo, w_hi, grid)
+
+
+def _slice_m_bwd(sizes, res, g):
+    x0, lane0, w_lo, w_hi, grid = res
+    # transpose of the weighted gather = vertex scatter-ADD of cotangents
+    d_grid = _scatter_generic(x0, lane0, w_lo, w_hi, g, sizes, "add")
+    mapping = _gm.GridMapping(x0, lane0, w_lo, w_hi)
+    idx = _gm.flat_vertex_indices(mapping, sizes)
+    r, k, s = idx.shape
+    gathered = _gather_rows(grid, idx.reshape(r, k * s)).reshape(r, k, s, -1)
+    d_w = jnp.sum(gathered * g[:, :, None, :], axis=-1)  # [R, K, 8]
+    return (None, None, d_w[..., :4], d_w[..., 4:], d_grid)
+
+
+_slice_m.defvjp(_slice_m_fwd, _slice_m_bwd)
+
+
+def _flatten_mapping(mapping):
+    """[B, P, H(, 4)] arrays -> per-(b*h) rows [R, P(, 4)]."""
+    b, p, h = mapping.x0.shape
+    tr = lambda a: a.transpose(0, 2, 1).reshape(b * h, p)
+    tr4 = lambda a: a.transpose(0, 2, 1, 3).reshape(b * h, p, 4)
+    return (tr(mapping.x0), tr(mapping.lane0),
+            tr4(mapping.w_lo), tr4(mapping.w_hi))
+
+
+@partial(jax.jit, static_argnames=("sizes",))
+def splat_max_mapping(mapping, values, sizes, pts_mask=None):
+    """Mapping-based splat: values [B, P, H*F] -> grid [B, H, G, F].
+
+    Same semantics as ``splat_max``; runs the fused Pallas kernel on TPU."""
+    b, p, h = mapping.x0.shape
+    f = values.shape[-1] // h
+    v = values.reshape(b, p, h, f)
+    if pts_mask is not None:
+        v = v * pts_mask[:, :, None, None].astype(v.dtype)
+    v = v.transpose(0, 2, 1, 3).reshape(b * h, p, f)
+    x0, lane0, w_lo, w_hi = _flatten_mapping(mapping)
+    grid = _splat_m(tuple(sizes), x0, lane0, w_lo, w_hi, v)
+    return grid.reshape(b, h, -1, f)
+
+
+@partial(jax.jit, static_argnames=("sizes",))
+def slice_grid_mapping(mapping, grid, sizes, pts_mask=None):
+    """Mapping-based slice: grid [B, H, G, F] -> [B, P, H*F]."""
+    b, p, h = mapping.x0.shape
+    g, f = grid.shape[2], grid.shape[3]
+    x0, lane0, w_lo, w_hi = _flatten_mapping(mapping)
+    out = _slice_m(tuple(sizes), x0, lane0, w_lo, w_hi,
+                   grid.reshape(b * h, g, f))          # [R, P, F]
+    out = out.reshape(b, h, p, f).transpose(0, 2, 1, 3).reshape(b, p, h * f)
+    if pts_mask is not None:
+        out = out * pts_mask[:, :, None].astype(out.dtype)
+    return out

@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cloud_transformers_tpu.core import grid_positions, splat_max, slice_grid
+from cloud_transformers_tpu.core.grid_mapping import grid_mapping
+from cloud_transformers_tpu.core.splat_slice import (
+    splat_max_mapping,
+    slice_grid_mapping,
+)
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.transforms import VolTransformer, PlaneTransformer
 
@@ -113,9 +117,8 @@ class MultiHead(nn.Module):
         lattice, keys, values = GridKeysValues(
             in_feature_dim=f, tensor_dim=dim, heads=h, scales=self.scales,
             name="kv")(x, orig_pcd, train)
-        w, idx = grid_positions(lattice, sizes, dim)
-        grid = splat_max(w, idx, values, heads=h, grid_cells=g,
-                         pts_mask=pts_mask)
+        mapping = grid_mapping(lattice, sizes, dim)
+        grid = splat_max_mapping(mapping, values, sizes, pts_mask=pts_mask)
         stats = head_stats(grid, keys, f, h)
 
         gs = grid_to_spatial(grid, sizes)
@@ -126,7 +129,8 @@ class MultiHead(nn.Module):
                      name="conv")(gs)
         convolved = spatial_to_grid(gs, h)
 
-        out = slice_grid(w, idx, convolved, heads=h, pts_mask=pts_mask)
+        out = slice_grid_mapping(mapping, convolved, sizes,
+                                 pts_mask=pts_mask)
         out = nn.relu(_bn(train, name="after_bn")(out))
         if return_lattice:
             return (out, lattice), stats
@@ -201,9 +205,8 @@ class MultiHeadPool(nn.Module):
         lattice, keys, values = GridKeysValues(
             in_feature_dim=f, tensor_dim=dim, heads=h, scales=self.scales,
             name="kv")(x, orig_pcd, train)
-        w, idx = grid_positions(lattice, sizes, dim)
-        grid = splat_max(w, idx, values, heads=h, grid_cells=g,
-                         pts_mask=pts_mask)
+        mapping = grid_mapping(lattice, sizes, dim)
+        grid = splat_max_mapping(mapping, values, sizes, pts_mask=pts_mask)
         stats = head_stats(grid, keys, f, h)
         out = grid_to_spatial(grid, sizes)
         if return_lattice:

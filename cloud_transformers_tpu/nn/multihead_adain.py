@@ -14,7 +14,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from cloud_transformers_tpu.core import grid_positions, splat_max, slice_grid
+from cloud_transformers_tpu.core.grid_mapping import grid_mapping
+from cloud_transformers_tpu.core.splat_slice import (
+    splat_max_mapping,
+    slice_grid_mapping,
+)
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.multihead import (
     TensorSize,
@@ -59,8 +63,8 @@ class MultiHeadAdaIn(nn.Module):
         keys = transform(keys3)
         lattice = jnp.tanh(keys)
 
-        w, idx = grid_positions(lattice, sizes, dim)
-        grid = splat_max(w, idx, values, heads=h, grid_cells=g)
+        mapping = grid_mapping(lattice, sizes, dim)
+        grid = splat_max_mapping(mapping, values, sizes)
         stats = head_stats(grid, keys, f, h)
 
         gs = grid_to_spatial(grid, sizes)
@@ -71,7 +75,7 @@ class MultiHeadAdaIn(nn.Module):
                      name="conv")(gs)
         convolved = spatial_to_grid(gs, h)
 
-        out = slice_grid(w, idx, convolved, heads=h)
+        out = slice_grid_mapping(mapping, convolved, sizes)
         out = nn.relu(AdaIn1d(h * f, name="after_adain")(out, z))
         if return_lattice:
             return (out, lattice), stats

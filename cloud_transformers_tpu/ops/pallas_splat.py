@@ -1,0 +1,184 @@
+"""Pallas TPU kernel: fused multi-vertex splat (scatter-max / scatter-add).
+
+The splat op (SURVEY.md N4) is a scatter of S=2**dim weighted copies of each
+point's feature vector into its enclosing grid-cell vertices.  XLA's TPU
+scatter lowering costs ~40 cycles/update; this kernel performs the update
+loop directly on a VMEM-resident grid, applying all S vertex contributions of
+a point with two masked row-block read-modify-writes, with the weight/mask
+arithmetic vectorized on the VPU.
+
+Grid memory layout inside the kernel: rows = x * F_pad + f, lanes = y (2D) or
+y*Z + z (3D), padded to >= 128 lanes.  A point's S vertices live in exactly
+two row blocks (x and x+1) and at 2 (2D) or 4 (3D) lanes — each vertex weight
+becomes a lane-one-hot, combined into one [F, L] outer-product update per row
+block.
+
+The same structure computes the scatter-ADD transpose of the slice gather
+(op='add'), the backward of Slice.  The sorted segment reduction
+(ops/segment.py) is the portable fallback used on CPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _splat_kernel(x0_ref, lane0_ref, wlo_ref, whi_ref, values_ref, out_ref,
+                  *, n_points, f_pad, lanes, lane_offs, op):
+    out_ref[:] = jnp.zeros_like(out_ref)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+
+    def tile_body(t, _):
+        # one [8, F_pad] row tile of values, transposed once so each point's
+        # feature vector becomes a *static* lane column (Mosaic requires
+        # 128-aligned dynamic lane indices; sublane reads are unconstrained)
+        p0 = pl.multiple_of(t * 8, 8)
+        vt = values_ref[0, pl.ds(p0, 8), :].T  # [F_pad, 8]
+
+        for j in range(8):
+            i = t * 8 + j
+            x0 = x0_ref[0, 0, i]
+            lane0 = lane0_ref[0, 0, i]
+            vcol = vt[:, j:j + 1]  # [F_pad, 1], static lane slice
+
+            def masked_update(row_start, w_ref, i=i, vcol=vcol, lane0=lane0):
+                m = jnp.zeros((1, lanes), jnp.float32)
+                for jj, off in enumerate(lane_offs):
+                    m = m + w_ref[0, jj, i] * (
+                        lane_iota == (lane0 + off)).astype(jnp.float32)
+                upd = vcol * m  # [F_pad, L]
+                rows = pl.ds(pl.multiple_of(row_start, f_pad), f_pad)
+                cur = out_ref[0, rows, :]
+                new = jnp.maximum(cur, upd) if op == "max" else cur + upd
+                out_ref[0, rows, :] = new
+
+            masked_update(x0 * f_pad, wlo_ref)
+            masked_update((x0 + 1) * f_pad, whi_ref)
+        return 0
+
+    jax.lax.fori_loop(0, n_points // 8, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "feat", "op"))
+def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max"):
+    """Fused splat over a batch of independent grids.
+
+    Args:
+      x0: [R, K] int32 — first-axis base cell per point.
+      lane0: [R, K] int32 — base lane (y0, or y0*Z + z0 for 3D).
+      w_lo: [R, K, 4] f32 — vertex weights for the x0 row block, in lane
+        offset order (2D: [w00, w01, 0, 0]; 3D: offsets [0, 1, Z, Z+1]).
+      w_hi: [R, K, 4] f32 — weights for the x0+1 row block.
+      values: [R, K, F] f32 — per-point features.
+      sizes: grid spatial sizes tuple (X, Y) or (X, Y, Z).
+      feat: F.
+      op: 'max' (zero-init clamp comes free) or 'add'.
+
+    Returns:
+      grid [R, G, F] float32 (G = prod(sizes)).
+    """
+    r, k = x0.shape
+    x_dim = sizes[0]
+    lane_extent = int(np.prod(sizes[1:]))
+    lanes = max(128, lane_extent)
+    f_pad = max(8, feat)
+    if values.shape[-1] != f_pad:
+        values = jnp.pad(values,
+                         ((0, 0), (0, 0), (0, f_pad - values.shape[-1])))
+    if k % 8:
+        # pad to a whole 8-point tile with zero-weight points
+        extra = 8 - k % 8
+        x0 = jnp.pad(x0, ((0, 0), (0, extra)))
+        lane0 = jnp.pad(lane0, ((0, 0), (0, extra)))
+        w_lo = jnp.pad(w_lo, ((0, 0), (0, extra), (0, 0)))
+        w_hi = jnp.pad(w_hi, ((0, 0), (0, extra), (0, 0)))
+        values = jnp.pad(values, ((0, 0), (0, extra), (0, 0)))
+        k += extra
+
+    if len(sizes) == 2:
+        lane_offs = (0, 1)
+    else:
+        z = sizes[2]
+        lane_offs = (0, 1, z, z + 1)
+
+    kernel = functools.partial(
+        _splat_kernel, n_points=k, f_pad=f_pad, lanes=lanes,
+        lane_offs=lane_offs, op=op)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 1, k), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, k), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4, k), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4, k), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, f_pad), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, x_dim * f_pad, lanes),
+                               lambda bh: (bh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, x_dim * f_pad, lanes),
+                                       jnp.float32),
+    )(x0[:, None, :], lane0[:, None, :], w_lo.transpose(0, 2, 1),
+      w_hi.transpose(0, 2, 1), values)  # values [R, K, F_pad]
+
+    # [R, X*F_pad, lanes] -> [R, G, F]
+    out = out.reshape(r, x_dim, f_pad, lanes)[:, :, :feat, :lane_extent]
+    out = out.transpose(0, 1, 3, 2).reshape(
+        r, x_dim * lane_extent, feat)
+    return out
+
+
+def vertex_decomposition(keys_scaled, sizes):
+    """Per-point base cell + per-vertex weights in the kernel's layout.
+
+    Args:
+      keys_scaled: [..., dim] continuous grid coords in [0, size_d - 1]
+        (the output of the gradient-balanced rescale, coords.py).
+      sizes: (X, Y) or (X, Y, Z).
+
+    Returns:
+      x0 [...], lane0 [...] int32; w_lo, w_hi [..., 4] f32 (zero-padded for
+      2D); ordering matches ``pallas_splat``'s ``lane_offs``.
+    """
+    dim = len(sizes)
+    floored = jnp.floor(keys_scaled)
+    frac = keys_scaled - floored
+    base = floored.astype(jnp.int32)
+    fx = frac[..., 0]
+    if dim == 2:
+        fy = frac[..., 1]
+        x0 = base[..., 0]
+        lane0 = base[..., 1]
+        zeros = jnp.zeros_like(fx)
+        w_lo = jnp.stack([(1 - fx) * (1 - fy), (1 - fx) * fy,
+                          zeros, zeros], -1)
+        w_hi = jnp.stack([fx * (1 - fy), fx * fy, zeros, zeros], -1)
+    else:
+        fy = frac[..., 1]
+        fz = frac[..., 2]
+        x0 = base[..., 0]
+        lane0 = base[..., 1] * sizes[2] + base[..., 2]
+        w_lo = jnp.stack([
+            (1 - fx) * (1 - fy) * (1 - fz),
+            (1 - fx) * (1 - fy) * fz,
+            (1 - fx) * fy * (1 - fz),
+            (1 - fx) * fy * fz,
+        ], -1)
+        w_hi = jnp.stack([
+            fx * (1 - fy) * (1 - fz),
+            fx * (1 - fy) * fz,
+            fx * fy * (1 - fz),
+            fx * fy * fz,
+        ], -1)
+    return x0, lane0, w_lo, w_hi
