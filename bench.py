@@ -39,7 +39,7 @@ def measure(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_classifier_inference(batch=32, points=2048):
+def bench_classifier_inference(batch=8, points=2048):
     import jax
     from cloud_transformers_tpu.models import get_model
 
@@ -56,22 +56,22 @@ def bench_classifier_inference(batch=32, points=2048):
 
 def bench_splat_slice(batch=8, points=2048, heads=16, feat=8, size=32):
     """Fused positions+splat+slice round trip, Mpoints/sec (counting each
-    cloud point once per head group)."""
+    cloud point once per head group); mapping API -> Pallas kernel."""
     import jax
     import jax.numpy as jnp
-    from cloud_transformers_tpu.core import (grid_positions, splat_max,
-                                             slice_grid)
+    from cloud_transformers_tpu.core import (grid_mapping, splat_max_mapping,
+                                             slice_grid_mapping)
 
     key = jax.random.PRNGKey(0)
     keys = jnp.tanh(jax.random.normal(key, (batch, points, heads, 3)))
     values = jax.random.normal(key, (batch, points, heads * feat))
-    g = size ** 3
+    sizes = (size,) * 3
 
     @jax.jit
     def fused(keys, values):
-        w, idx = grid_positions(keys, size, 3)
-        grid = splat_max(w, idx, values, heads=heads, grid_cells=g)
-        return slice_grid(w, idx, grid, heads=heads)
+        m = grid_mapping(keys, sizes, 3)
+        grid = splat_max_mapping(m, values, sizes)
+        return slice_grid_mapping(m, grid, sizes)
 
     dt = measure(fused, keys, values)
     return batch * points * heads / dt / 1e6, dt
@@ -99,7 +99,7 @@ def main():
         "unit": "clouds/sec",
         "vs_baseline": round(vs, 3),
         "splat_slice_mpoints_per_sec": round(mpts, 1),
-        "classifier_ms_per_batch32": round(dt_cls * 1e3, 3),
+        "classifier_ms_per_batch8": round(dt_cls * 1e3, 3),
         "splat_slice_ms": round(dt_ss * 1e3, 3),
         "bench_wall_sec": round(time.time() - t_start, 1),
     }))

@@ -173,6 +173,11 @@ from cloud_transformers_tpu.ops.pallas_splat import pallas_splat as _pallas_spla
 
 # set to True to force the portable path even on TPU (testing/ablation)
 FORCE_XLA_PATH = False
+# portable-path implementation: 'interpret' runs the Pallas kernel in
+# interpreter mode (tiny compile, serial execution — right for the virtual
+# CPU mesh); 'sorted' uses the sorted segment reduction (vectorized, but its
+# sort graphs compile slowly and G-dominated sorts run slowly on CPU)
+PORTABLE_IMPL = "interpret"
 
 
 def _scatter_portable(x0, lane0, w_lo, w_hi, values, sizes, op):
@@ -195,12 +200,19 @@ def _scatter_generic(x0, lane0, w_lo, w_hi, values, sizes, op):
     on TPU, the sorted segment reduction elsewhere.
 
     values [R, K, F] -> grid [R, G, F]."""
+    if PORTABLE_IMPL == "interpret":
+        def portable(*a):
+            return _pallas_splat(*a, sizes, values.shape[-1], op=op,
+                                 interpret=True)
+    else:
+        def portable(*a):
+            return _scatter_portable(*a, sizes, op)
     if FORCE_XLA_PATH:
-        return _scatter_portable(x0, lane0, w_lo, w_hi, values, sizes, op)
+        return portable(x0, lane0, w_lo, w_hi, values)
     return jax.lax.platform_dependent(
         x0, lane0, w_lo, w_hi, values,
         tpu=lambda *a: _pallas_splat(*a, sizes, values.shape[-1], op=op),
-        default=lambda *a: _scatter_portable(*a, sizes, op),
+        default=portable,
     )
 
 

@@ -1,0 +1,77 @@
+"""Grouped convolution with an MXU-friendly execution strategy.
+
+The MHCT grids use grouped 3x3 convs with tiny per-group channel counts
+(F = 4/16 per head) — as true grouped convolutions the MXU contraction is
+4*9..16*9 wide, single-digit percent utilization.  Executing them as a DENSE
+conv with a block-diagonal kernel wastes groups x FLOPs, but those FLOPs are
+nearly free on the 128x128 systolic array, trading ~10x wall time for
+arithmetic the hardware does anyway.
+
+Parameters stay in the grouped layout (reference parity in count and
+semantics: layers/multihead_ct.py:50-65); the block-diagonal expansion is a
+zero-cost einsum against an identity, so gradients to the grouped kernel are
+exact.  Large per-group channels (trunk Res blocks, 32-64 ch/group) keep the
+native grouped path.
+"""
+
+from typing import Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
+
+# per-group input channels at or below this use the block-diagonal strategy
+_BLOCK_DIAG_MAX_GROUP_CH = 16
+
+
+class GroupedConv(nn.Module):
+    """Drop-in grouped conv: ``[B, *spatial, C_in] -> [B, *spatial, features]``."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    groups: int = 1
+    padding: Union[int, str] = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        g = self.groups
+        ci = in_ch // g
+        co = self.features // g
+        kernel = self.param(
+            "kernel", torch_kernel_init(),
+            tuple(self.kernel_size) + (ci, self.features))
+        fan_in = ci
+        for k in self.kernel_size:
+            fan_in *= k
+        bias = (self.param("bias", torch_bias_init(fan_in),
+                           (self.features,))
+                if self.use_bias else None)
+
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape[:-2] + (in_ch, self.features),
+            (("NHWC", "HWIO", "NHWC") if len(self.kernel_size) == 2
+             else ("NDHWC", "DHWIO", "NDHWC")))
+        pad = ([(self.padding, self.padding)] * len(self.kernel_size)
+               if isinstance(self.padding, int) else self.padding)
+
+        if ci <= _BLOCK_DIAG_MAX_GROUP_CH and g > 1:
+            # expand grouped kernel [*k, ci, G*co] to block-diagonal dense
+            # [*k, G*ci, G*co]; the identity einsum keeps grads exact
+            k4 = kernel.reshape(kernel.shape[:-2] + (ci, g, co))
+            eye = jnp.eye(g, dtype=kernel.dtype)
+            dense = jnp.einsum("...cgo,hg->...hcgo", k4, eye)
+            dense = dense.reshape(kernel.shape[:-2] + (g * ci, g * co))
+            out = jax.lax.conv_general_dilated(
+                x, dense, window_strides=(1,) * len(self.kernel_size),
+                padding=pad, dimension_numbers=dn, feature_group_count=1)
+        else:
+            out = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1,) * len(self.kernel_size),
+                padding=pad, dimension_numbers=dn, feature_group_count=g)
+        if bias is not None:
+            out = out + bias
+        return out

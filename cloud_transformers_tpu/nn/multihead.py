@@ -23,6 +23,7 @@ from cloud_transformers_tpu.core.splat_slice import (
     splat_max_mapping,
     slice_grid_mapping,
 )
+from cloud_transformers_tpu.nn.grouped_conv import GroupedConv
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.transforms import VolTransformer, PlaneTransformer
 
@@ -122,11 +123,8 @@ class MultiHead(nn.Module):
         stats = head_stats(grid, keys, f, h)
 
         gs = grid_to_spatial(grid, sizes)
-        gs = nn.Conv(h * f, kernel_size=(3,) * dim, padding=1,
-                     feature_group_count=h, use_bias=True,
-                     kernel_init=torch_kernel_init(),
-                     bias_init=torch_bias_init(f * 3 ** dim),
-                     name="conv")(gs)
+        gs = GroupedConv(h * f, kernel_size=(3,) * dim, padding=1,
+                         groups=h, use_bias=True, name="conv")(gs)
         convolved = spatial_to_grid(gs, h)
 
         out = slice_grid_mapping(mapping, convolved, sizes,

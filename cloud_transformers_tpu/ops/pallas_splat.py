@@ -30,7 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 def _splat_kernel(x0_ref, lane0_ref, wlo_ref, whi_ref, values_ref, out_ref,
                   *, n_points, f_pad, lanes, lane_offs, op):
     out_ref[:] = jnp.zeros_like(out_ref)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    # wide grids: touch only a 256-lane window around the target lanes
+    # (the 4 vertex lanes span at most Z+2 <= 128+1 positions)
+    window = 256 if (lanes >= 512 and max(lane_offs) < 128) else lanes
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
 
     def tile_body(t, _):
         # one [8, F_pad] row tile of values, transposed once so each point's
@@ -44,17 +47,24 @@ def _splat_kernel(x0_ref, lane0_ref, wlo_ref, whi_ref, values_ref, out_ref,
             x0 = x0_ref[0, 0, i]
             lane0 = lane0_ref[0, 0, i]
             vcol = vt[:, j:j + 1]  # [F_pad, 1], static lane slice
+            if window == lanes:
+                win = 0
+            else:
+                win = pl.multiple_of(
+                    jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
+            rel = lane0 - win
 
-            def masked_update(row_start, w_ref, i=i, vcol=vcol, lane0=lane0):
-                m = jnp.zeros((1, lanes), jnp.float32)
+            def masked_update(row_start, w_ref, i=i, vcol=vcol, rel=rel,
+                              win=win):
+                m = jnp.zeros((1, window), jnp.float32)
                 for jj, off in enumerate(lane_offs):
                     m = m + w_ref[0, jj, i] * (
-                        lane_iota == (lane0 + off)).astype(jnp.float32)
-                upd = vcol * m  # [F_pad, L]
+                        lane_iota == (rel + off)).astype(jnp.float32)
+                upd = vcol * m  # [F_pad, window]
                 rows = pl.ds(pl.multiple_of(row_start, f_pad), f_pad)
-                cur = out_ref[0, rows, :]
+                cur = out_ref[0, rows, pl.ds(win, window)]
                 new = jnp.maximum(cur, upd) if op == "max" else cur + upd
-                out_ref[0, rows, :] = new
+                out_ref[0, rows, pl.ds(win, window)] = new
 
             masked_update(x0 * f_pad, wlo_ref)
             masked_update((x0 + 1) * f_pad, whi_ref)
@@ -63,8 +73,10 @@ def _splat_kernel(x0_ref, lane0_ref, wlo_ref, whi_ref, values_ref, out_ref,
     jax.lax.fori_loop(0, n_points // 8, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "feat", "op"))
-def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max"):
+@functools.partial(jax.jit,
+                   static_argnames=("sizes", "feat", "op", "interpret"))
+def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
+                 interpret=False):
     """Fused splat over a batch of independent grids.
 
     Args:
@@ -129,6 +141,7 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max"):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, x_dim * f_pad, lanes),
                                        jnp.float32),
+        interpret=interpret,
     )(x0[:, None, :], lane0[:, None, :], w_lo.transpose(0, 2, 1),
       w_hi.transpose(0, 2, 1), values)  # values [R, K, F_pad]
 

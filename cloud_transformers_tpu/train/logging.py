@@ -79,6 +79,19 @@ class MetricLogger:
                 f"key_var/block_{i}": s["key_var"],
             }, prefix=prefix)
 
+    def mesh(self, step, tag, points, colors=None):
+        """Log a point cloud (train_inpainter.py:236-243 writer.add_mesh).
+
+        points: [B, N, 3] array-like."""
+        if not self.is_main or self.writer is None:
+            return
+        import numpy as np
+        try:
+            self.writer.add_mesh(tag, vertices=np.asarray(points),
+                                 colors=colors, global_step=step)
+        except Exception:
+            pass  # mesh plugin is optional
+
     def close(self):
         if self.writer is not None:
             self.writer.close()

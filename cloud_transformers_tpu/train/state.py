@@ -23,6 +23,11 @@ def create_train_state(model, sample_args, tx, rng=None, train=True):
     if rng is None:
         rng = jax.random.PRNGKey(0)
     rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
+    # host copies: device-array closure constants would need a D2H at
+    # lowering time, which the tunneled runtime sometimes refuses
+    sample_args = jax.tree_util.tree_map(
+        lambda a: jax.device_get(a) if hasattr(a, "devices") else a,
+        tuple(sample_args))
 
     @jax.jit
     def _init():

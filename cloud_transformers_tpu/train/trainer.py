@@ -71,6 +71,15 @@ class Trainer:
                 restore_params_only)
             self.state = restore_params_only(restore["generator"], self.state)
             self.logger.info("restored params from %s", restore["generator"])
+            if restore.get("new_lr") is not None:
+                # LR override on resume (train_classification.py:139-141)
+                new_cfg = dict(cfg["train"],
+                               optimizer=dict(cfg["train"]["optimizer"],
+                                              lr=float(restore["new_lr"])))
+                tx = make_optimizer(new_cfg, self.state.params)
+                self.state = self.state.replace(
+                    tx=tx, opt_state=tx.init(self.state.params))
+                self.state = replicate(self.mesh, self.state)
 
     # --- steps -----------------------------------------------------------
     def _train_step_impl(self, state, batch, rng):
@@ -82,9 +91,15 @@ class Trainer:
 
         (loss, (aux, new_stats)), grads = jax.value_and_grad(
             compute, has_aux=True)(state.params)
+        metrics = {"loss": loss, **aux}
+        if self.cfg.get("train", {}).get("grad_stats"):
+            # on-device gradient norms (cfg gate mirrors
+            # train_classification.py:208-225's grad histograms)
+            import optax
+            metrics["grad_norm"] = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
-        return state, {"loss": loss, **aux}
+        return state, metrics
 
     def _eval_step_impl(self, state, batch, rng):
         variables = {"params": state.params,

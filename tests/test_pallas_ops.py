@@ -1,0 +1,129 @@
+"""Pallas splat kernel tests (interpret mode on CPU) + portable-path
+equivalence of the mapping-based ops."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cloud_transformers_tpu.core.splat_slice as ss
+from cloud_transformers_tpu.core.grid_mapping import (
+    grid_mapping,
+    flat_vertex_indices,
+    vertex_weights,
+)
+from cloud_transformers_tpu.ops.segment import segment_reduce_dense
+from cloud_transformers_tpu.ops.pallas_splat import vertex_decomposition
+
+
+class TestSegmentReduce:
+    @pytest.mark.parametrize("op", ["max", "sum"])
+    def test_matches_numpy(self, rng, op):
+        r, k, g, f = 3, 257, 64, 5
+        idx = jnp.asarray(rng.randint(0, g, (r, k)), jnp.int32)
+        vals = jnp.asarray(rng.randn(r, k, f), jnp.float32)
+        got = np.asarray(segment_reduce_dense(idx, vals, g, op=op))
+        want = np.zeros((r, g, f), np.float32)
+        for ri in range(r):
+            for ki in range(k):
+                c = int(idx[ri, ki])
+                v = np.asarray(vals[ri, ki])
+                if op == "sum":
+                    want[ri, c] += v
+                else:
+                    want[ri, c] = np.maximum(want[ri, c], v)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_empty_cells_are_zero(self, rng):
+        idx = jnp.zeros((1, 8), jnp.int32)  # everything lands in cell 0
+        vals = jnp.asarray(rng.rand(1, 8, 2), jnp.float32)
+        out = segment_reduce_dense(idx, vals, 16, op="max")
+        np.testing.assert_allclose(np.asarray(out[0, 1:]), 0.0)
+
+
+class TestVertexDecomposition:
+    @pytest.mark.parametrize("sizes", [(8, 8), (8, 8, 8), (4, 8, 16)])
+    def test_weights_sum_to_one(self, rng, sizes):
+        dim = len(sizes)
+        ks = jnp.asarray(
+            rng.uniform(0, min(sizes) - 1.01, (2, 33, dim)), jnp.float32)
+        x0, lane0, w_lo, w_hi = vertex_decomposition(ks, sizes)
+        total = np.asarray(w_lo).sum(-1) + np.asarray(w_hi).sum(-1)
+        np.testing.assert_allclose(total, 1.0, atol=1e-5)
+
+    def test_mapping_matches_grid_positions(self, rng):
+        # flat_vertex_indices/vertex_weights describe the same relation as
+        # the reference-ordered grid_positions
+        from cloud_transformers_tpu.core import grid_positions
+        keys = jnp.asarray(rng.uniform(-1, 1, (2, 17, 3, 3)), jnp.float32)
+        sizes = (8, 8, 8)
+        m = grid_mapping(keys, sizes, 3)
+        idx_m = np.asarray(flat_vertex_indices(m, sizes))  # [..., 8]
+        w_m = np.asarray(vertex_weights(m))
+        w_ref, idx_ref = grid_positions(keys, sizes, 3)
+        w_ref, idx_ref = np.asarray(w_ref), np.asarray(idx_ref)
+        # same multiset of (index, weight) pairs per point
+        for b, p, h in itertools.product(range(2), range(17), range(3)):
+            got = sorted(zip(idx_m[b, p, h], w_m[b, p, h]))
+            want = sorted(zip(idx_ref[b, p, h], w_ref[b, p, h]))
+            gi = [x[0] for x in got if x[1] > 1e-7]
+            wi = [x[0] for x in want if x[1] > 1e-7]
+            assert set(wi) <= set(got_i for got_i in gi + [g for g, _ in got])
+            np.testing.assert_allclose(
+                sum(w for _, w in got), sum(w for _, w in want), atol=1e-5)
+
+
+class TestMappingOps:
+    @pytest.mark.parametrize("dim,size", [(2, 16), (3, 8)])
+    def test_splat_matches_classic_api(self, rng, dim, size):
+        from cloud_transformers_tpu.core import grid_positions, splat_max
+        b, p, h, f = 2, 64, 2, 4
+        keys = jnp.asarray(rng.uniform(-1, 1, (b, p, h, dim)), jnp.float32)
+        vals = jnp.asarray(rng.randn(b, p, h * f), jnp.float32)
+        sizes = (size,) * dim
+        m = grid_mapping(keys, sizes, dim)
+        got = ss.splat_max_mapping(m, vals, sizes)
+        w, idx = grid_positions(keys, sizes, dim)
+        want = splat_max(w, idx, vals, heads=h, grid_cells=size ** dim)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_slice_matches_classic_api(self, rng):
+        from cloud_transformers_tpu.core import grid_positions, slice_grid
+        b, p, h, f, size, dim = 2, 64, 2, 4, 8, 3
+        keys = jnp.asarray(rng.uniform(-1, 1, (b, p, h, dim)), jnp.float32)
+        grid = jnp.asarray(rng.randn(b, h, size ** dim, f), jnp.float32)
+        sizes = (size,) * dim
+        m = grid_mapping(keys, sizes, dim)
+        got = ss.slice_grid_mapping(m, grid, sizes)
+        w, idx = grid_positions(keys, sizes, dim)
+        want = slice_grid(w, idx, grid, heads=h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_gradients_match_classic_api(self, rng):
+        from cloud_transformers_tpu.core import grid_positions, splat_max, \
+            slice_grid
+        b, p, h, f, size, dim = 1, 32, 2, 3, 8, 3
+        keys = jnp.asarray(rng.uniform(-1, 1, (b, p, h, dim)), jnp.float32)
+        vals = jnp.asarray(rng.randn(b, p, h * f), jnp.float32)
+        sizes = (size,) * dim
+
+        def loss_mapping(v, k):
+            m = grid_mapping(k, sizes, dim)
+            g = ss.splat_max_mapping(m, v, sizes)
+            return jnp.sum(ss.slice_grid_mapping(m, g, sizes) ** 2)
+
+        def loss_classic(v, k):
+            w, idx = grid_positions(k, sizes, dim)
+            g = splat_max(w, idx, v, heads=h, grid_cells=size ** dim)
+            return jnp.sum(slice_grid(w, idx, g, heads=h) ** 2)
+
+        g1 = jax.grad(loss_mapping, argnums=(0, 1))(vals, keys)
+        g2 = jax.grad(loss_classic, argnums=(0, 1))(vals, keys)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                                   atol=1e-3)
