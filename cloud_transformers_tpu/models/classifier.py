@@ -21,20 +21,29 @@ from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.multihead import MultiHeadPool, MultiHeadUnion, _bn
 
 
-def mhct_block_configs(repeats=4):
+# one stage = 3 unions of (features_dims, heads, tensor_sizes, tensor_dims)
+# per head group (classifier.py:46-63)
+DEFAULT_STAGE_PLAN = (
+    ((4, 4), (16, 16), (128, 32), (2, 3)),
+    ((16, 16), (16, 16), (64, 16), (2, 3)),
+    ((16, 32), (16, 16), (16, 8), (2, 3)),
+)
+# small-shape plan for dry runs / sharding validation (same code path)
+TINY_STAGE_PLAN = (
+    ((4, 4), (2, 2), (16, 8), (2, 3)),
+)
+
+
+def _plan_to_kwargs(plan):
+    return [dict(features_dims=list(f), heads=list(h),
+                 tensor_sizes=list(s), tensor_dims=list(d))
+            for f, h, s, d in plan]
+
+
+def mhct_block_configs(repeats=4, plan=DEFAULT_STAGE_PLAN):
     """The shared 12-block MHCT trunk configuration (classifier.py:46-63,
     reused by the segmenter, the completion encoder, and the decoders)."""
-    blocks = []
-    for _ in range(repeats):
-        blocks += [
-            dict(features_dims=[4, 4], heads=[16, 16],
-                 tensor_sizes=[128, 32], tensor_dims=[2, 3]),
-            dict(features_dims=[16, 16], heads=[16, 16],
-                 tensor_sizes=[64, 16], tensor_dims=[2, 3]),
-            dict(features_dims=[16, 32], heads=[16, 16],
-                 tensor_sizes=[16, 8], tensor_dims=[2, 3]),
-        ]
-    return blocks
+    return _plan_to_kwargs(plan) * repeats
 
 
 class MHCTStage(nn.Module):
@@ -43,11 +52,12 @@ class MHCTStage(nn.Module):
     model_dim: int = 512
     scales: bool = False
     train: bool = True
+    stage_plan: tuple = DEFAULT_STAGE_PLAN
 
     @nn.compact
     def __call__(self, x, pcd, pts_mask):
         stats = []
-        for i, cfg in enumerate(mhct_block_configs(repeats=1)):
+        for i, cfg in enumerate(_plan_to_kwargs(self.stage_plan)):
             x, s = MultiHeadUnion(model_dim=self.model_dim,
                                   model_dim_out=self.model_dim,
                                   scales=self.scales, name=f"union_{i}",
@@ -72,6 +82,7 @@ class MHCTTrunk(nn.Module):
     remat: bool = True
     scan: bool = True
     repeats: int = 4
+    stage_plan: tuple = DEFAULT_STAGE_PLAN
 
     @nn.compact
     def __call__(self, x, pcd, pts_mask, train=True):
@@ -82,7 +93,8 @@ class MHCTTrunk(nn.Module):
             stats = []
             for r in range(self.repeats):
                 x, s = cell(model_dim=self.model_dim, scales=self.scales,
-                            train=train, name=f"stage_{r}")(x, pcd, pts_mask)
+                            train=train, stage_plan=self.stage_plan,
+                            name=f"stage_{r}")(x, pcd, pts_mask)
                 stats += [{k: s[k][i] for k in s}
                           for i in range(next(iter(s.values())).shape[0])]
             return x, stats
@@ -95,7 +107,8 @@ class MHCTTrunk(nn.Module):
             metadata_params={nn.PARTITION_NAME: None},
         )
         x, stats_sc = scan(model_dim=self.model_dim, scales=self.scales,
-                           train=train, name="stages")(x, pcd, pts_mask)
+                           train=train, stage_plan=self.stage_plan,
+                           name="stages")(x, pcd, pts_mask)
         # unstack [repeats, 6] back into the reference's flat 12x2 stats list
         n = next(iter(stats_sc.values())).shape[1]
         stats = [{k: stats_sc[k][r, i] for k in stats_sc}
