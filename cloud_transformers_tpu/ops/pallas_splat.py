@@ -27,47 +27,57 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _splat_kernel(x0_ref, lane0_ref, wlo_ref, whi_ref, values_ref, out_ref,
-                  *, n_points, f_pad, lanes, lane_offs, op):
+def _splat_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref,
+                  values_ref, out_ref, *, n_points, f_pad, lanes, lane_offs,
+                  op):
     out_ref[:] = jnp.zeros_like(out_ref)
     # wide grids: touch only a 256-lane window around the target lanes
     # (the 4 vertex lanes span at most Z+2 <= 128+1 positions)
     window = 256 if (lanes >= 512 and max(lane_offs) < 128) else lanes
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+    windowed = window != lanes
+    lane_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, window), 1)
 
     def tile_body(t, _):
-        # one [8, F_pad] row tile of values, transposed once so each point's
-        # feature vector becomes a *static* lane column (Mosaic requires
-        # 128-aligned dynamic lane indices; sublane reads are unconstrained)
+        # Vectorize the mask/weight arithmetic over a tile of 8 points: per
+        # point only the two fused row-block RMWs remain (the memory ops were
+        # measured nearly free; the per-point scalar mask math was the cost).
         p0 = pl.multiple_of(t * 8, 8)
-        vt = values_ref[0, pl.ds(p0, 8), :].T  # [F_pad, 8]
+        vt = values_ref[0, pl.ds(p0, 8), :].T          # [F_pad, 8]
+        lane8 = lane0v_ref[0, pl.ds(p0, 8), :]         # [8, 1] int32
+        wlo8 = wlo_ref[0, pl.ds(p0, 8), :]             # [8, 4]
+        whi8 = whi_ref[0, pl.ds(p0, 8), :]
+        if windowed:
+            # per-point window base, kept in lane-relative coordinates
+            win8 = jnp.minimum((lane8 >> 7) << 7, lanes - window)
+            rel8 = lane8 - win8
+        else:
+            rel8 = lane8
+        m_lo = jnp.zeros((8, window), jnp.float32)
+        m_hi = jnp.zeros((8, window), jnp.float32)
+        for jj, off in enumerate(lane_offs):
+            hit = (lane_iota8 == (rel8 + off)).astype(jnp.float32)
+            m_lo = m_lo + wlo8[:, jj:jj + 1] * hit
+            m_hi = m_hi + whi8[:, jj:jj + 1] * hit
 
         for j in range(8):
             i = t * 8 + j
             x0 = x0_ref[0, 0, i]
-            lane0 = lane0_ref[0, 0, i]
             vcol = vt[:, j:j + 1]  # [F_pad, 1], static lane slice
-            if window == lanes:
-                win = 0
-            else:
+            upd = jnp.concatenate(
+                [vcol * m_lo[j:j + 1, :], vcol * m_hi[j:j + 1, :]],
+                axis=0)  # [2*F_pad, window] — rows x0 and x0+1 fused
+            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
+            if windowed:
+                lane0 = lane0_ref[0, 0, i]
                 win = pl.multiple_of(
                     jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
-            rel = lane0 - win
-
-            def masked_update(row_start, w_ref, i=i, vcol=vcol, rel=rel,
-                              win=win):
-                m = jnp.zeros((1, window), jnp.float32)
-                for jj, off in enumerate(lane_offs):
-                    m = m + w_ref[0, jj, i] * (
-                        lane_iota == (rel + off)).astype(jnp.float32)
-                upd = vcol * m  # [F_pad, window]
-                rows = pl.ds(pl.multiple_of(row_start, f_pad), f_pad)
                 cur = out_ref[0, rows, pl.ds(win, window)]
                 new = jnp.maximum(cur, upd) if op == "max" else cur + upd
                 out_ref[0, rows, pl.ds(win, window)] = new
-
-            masked_update(x0 * f_pad, wlo_ref)
-            masked_update((x0 + 1) * f_pad, whi_ref)
+            else:
+                cur = out_ref[0, rows, :]
+                new = jnp.maximum(cur, upd) if op == "max" else cur + upd
+                out_ref[0, rows, :] = new
         return 0
 
     jax.lax.fori_loop(0, n_points // 8, tile_body, 0)
@@ -129,10 +139,12 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4, k), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4, k), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, 1), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 4), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 4), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, f_pad), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -142,8 +154,8 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
         out_shape=jax.ShapeDtypeStruct((r, x_dim * f_pad, lanes),
                                        jnp.float32),
         interpret=interpret,
-    )(x0[:, None, :], lane0[:, None, :], w_lo.transpose(0, 2, 1),
-      w_hi.transpose(0, 2, 1), values)  # values [R, K, F_pad]
+    )(x0[:, None, :], lane0[:, None, :], lane0[..., None], w_lo, w_hi,
+      values)  # values [R, K, F_pad]
 
     # [R, X*F_pad, lanes] -> [R, G, F]
     out = out.reshape(r, x_dim, f_pad, lanes)[:, :, :feat, :lane_extent]
