@@ -246,14 +246,32 @@ def _splat_m_bwd(sizes, res, g):
 _splat_m.defvjp(_splat_m_fwd, _splat_m_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _slice_m(sizes, x0, lane0, w_lo, w_hi, grid):
+def _slice_portable(sizes, x0, lane0, w_lo, w_hi, grid):
     mapping = _gm.GridMapping(x0, lane0, w_lo, w_hi)
     idx = _gm.flat_vertex_indices(mapping, sizes)
     w = _gm.vertex_weights(mapping)
     r, k, s = idx.shape
     gathered = _gather_rows(grid, idx.reshape(r, k * s)).reshape(r, k, s, -1)
     return jnp.sum(gathered * w[..., None], axis=2)     # [R, K, F]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _slice_m(sizes, x0, lane0, w_lo, w_hi, grid):
+    from cloud_transformers_tpu.ops.pallas_splat import pallas_slice
+    feat = grid.shape[-1]
+    if PORTABLE_IMPL == "interpret":
+        def portable(*a):
+            return pallas_slice(*a, sizes, feat, interpret=True)
+    else:
+        def portable(*a):
+            return _slice_portable(sizes, *a)
+    if FORCE_XLA_PATH:
+        return portable(x0, lane0, w_lo, w_hi, grid)
+    return jax.lax.platform_dependent(
+        x0, lane0, w_lo, w_hi, grid,
+        tpu=lambda *a: pallas_slice(*a, sizes, feat),
+        default=portable,
+    )
 
 
 def _slice_m_fwd(sizes, x0, lane0, w_lo, w_hi, grid):

@@ -207,3 +207,105 @@ def vertex_decomposition(keys_scaled, sizes):
             fx * fy * fz,
         ], -1)
     return x0, lane0, w_lo, w_hi
+
+
+# ---------------------------------------------------------------------------
+# Slice kernel: the gather-transpose of the splat (same mask machinery)
+# ---------------------------------------------------------------------------
+
+def _slice_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref, grid_ref,
+                  out_ref, *, n_points, f_pad, lanes, lane_offs):
+    window = 256 if (lanes >= 512 and max(lane_offs) < 128) else lanes
+    windowed = window != lanes
+    lane_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, window), 1)
+
+    def tile_body(t, _):
+        p0 = pl.multiple_of(t * 8, 8)
+        lane8 = lane0v_ref[0, pl.ds(p0, 8), :]
+        wlo8 = wlo_ref[0, pl.ds(p0, 8), :]
+        whi8 = whi_ref[0, pl.ds(p0, 8), :]
+        rel8 = (lane8 - jnp.minimum((lane8 >> 7) << 7, lanes - window)
+                if windowed else lane8)
+        m_lo = jnp.zeros((8, window), jnp.float32)
+        m_hi = jnp.zeros((8, window), jnp.float32)
+        for jj, off in enumerate(lane_offs):
+            hit = (lane_iota8 == (rel8 + off)).astype(jnp.float32)
+            m_lo = m_lo + wlo8[:, jj:jj + 1] * hit
+            m_hi = m_hi + whi8[:, jj:jj + 1] * hit
+
+        cols = []
+        for j in range(8):
+            i = t * 8 + j
+            x0 = x0_ref[0, 0, i]
+            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
+            if windowed:
+                lane0 = lane0_ref[0, 0, i]
+                win = pl.multiple_of(
+                    jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
+                cur = grid_ref[0, rows, pl.ds(win, window)]
+            else:
+                cur = grid_ref[0, rows, :]
+            prod = (cur[:f_pad] * m_lo[j:j + 1, :]
+                    + cur[f_pad:] * m_hi[j:j + 1, :])
+            cols.append(jnp.sum(prod, axis=1, keepdims=True))  # [F_pad, 1]
+        out_ref[0, pl.ds(p0, 8), :] = jnp.concatenate(cols, axis=1).T
+        return 0
+
+    jax.lax.fori_loop(0, n_points // 8, tile_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sizes", "feat", "interpret"))
+def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
+    """Fused multi-vertex slice: grid [R, G, F] -> per-point weighted sums
+    [R, K, F]. Inputs as in pallas_splat."""
+    r, k = x0.shape
+    x_dim = sizes[0]
+    lane_extent = int(np.prod(sizes[1:]))
+    lanes = max(128, lane_extent)
+    f_pad = max(8, feat)
+    k_pad = -(-k // 8) * 8
+    if k_pad != k:
+        x0 = jnp.pad(x0, ((0, 0), (0, k_pad - k)))
+        lane0 = jnp.pad(lane0, ((0, 0), (0, k_pad - k)))
+        w_lo = jnp.pad(w_lo, ((0, 0), (0, k_pad - k), (0, 0)))
+        w_hi = jnp.pad(w_hi, ((0, 0), (0, k_pad - k), (0, 0)))
+
+    # [R, G, F] -> kernel layout [R, X*F_pad, lanes]
+    g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
+    g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, lanes - lane_extent),
+                      (0, f_pad - grid.shape[-1])))
+    gk = g4.transpose(0, 1, 3, 2).reshape(r, x_dim * f_pad, lanes)
+
+    if len(sizes) == 2:
+        lane_offs = (0, 1)
+    else:
+        z = sizes[2]
+        lane_offs = (0, 1, z, z + 1)
+
+    kernel = functools.partial(
+        _slice_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
+        lane_offs=lane_offs)
+    out = pl.pallas_call(
+        kernel,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k_pad, 1), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad, 4), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad, 4), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, x_dim * f_pad, lanes), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k_pad, f_pad), lambda bh: (bh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, k_pad, f_pad), jnp.float32),
+        interpret=interpret,
+    )(x0[:, None, :], lane0[:, None, :], lane0[..., None], w_lo, w_hi, gk)
+    return out[:, :k, :feat]
