@@ -176,11 +176,12 @@ class Classifier(nn.Module):
     n_classes: int = 15
     model_dim: int = 512
     scales: bool = False
+    remat: bool = True
 
     @nn.compact
     def __call__(self, pcd, train=True):
         res, pooled, stats = ClassifierBackbone(
-            model_dim=self.model_dim, scales=self.scales,
+            model_dim=self.model_dim, scales=self.scales, remat=self.remat,
             name="backbone")(pcd, train=train)
 
         cv = nn.Dense(1024, kernel_init=torch_kernel_init(),

@@ -103,10 +103,22 @@ class ResBlock(nn.Module):
 
 def max_pool_nd(x, window):
     """Max-pool with equal window/stride over all spatial dims of
-    [B, *spatial, C]."""
+    [B, *spatial, C].
+
+    Non-overlapping pooling is computed as reshape+max instead of
+    ``lax.reduce_window``: the reduce-window backward lowers to TPU
+    select-and-scatter (slow, like all scatters); the reshape form's
+    backward is an elementwise compare-select."""
     dim = x.ndim - 2
-    return nn.max_pool(x, window_shape=(window,) * dim,
-                       strides=(window,) * dim)
+    spatial = x.shape[1:-1]
+    assert all(s % window == 0 for s in spatial), (spatial, window)
+    shape = [x.shape[0]]
+    for s in spatial:
+        shape += [s // window, window]
+    shape.append(x.shape[-1])
+    reshaped = x.reshape(shape)
+    axes = tuple(2 + 2 * i for i in range(dim))
+    return reshaped.max(axis=axes)
 
 
 class UpsampleBlock(nn.Module):

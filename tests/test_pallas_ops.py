@@ -127,3 +127,30 @@ class TestMappingOps:
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                    atol=1e-3)
+
+
+class TestPortableImplToggle:
+    def test_sorted_portable_impl_matches(self, rng):
+        """Both portable implementations (interpret-pallas and sorted
+        segment reduce) agree, forward and backward."""
+        import jax
+        b, p, h, f, size, dim = 1, 32, 2, 4, 8, 3
+        keys = jnp.asarray(rng.uniform(-1, 1, (b, p, h, dim)), jnp.float32)
+        vals = jnp.asarray(rng.randn(b, p, h * f), jnp.float32)
+        sizes = (size,) * dim
+
+        def loss(v):
+            m = grid_mapping(keys, sizes, dim)
+            g = ss.splat_max_mapping(m, v, sizes)
+            return jnp.sum(ss.slice_grid_mapping(m, g, sizes) ** 2)
+
+        old = ss.PORTABLE_IMPL
+        try:
+            ss.PORTABLE_IMPL = "interpret"
+            v1, g1 = jax.value_and_grad(loss)(vals)
+            ss.PORTABLE_IMPL = "sorted"
+            v2, g2 = jax.value_and_grad(loss)(vals)
+        finally:
+            ss.PORTABLE_IMPL = old
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
