@@ -2,6 +2,7 @@ from cloud_transformers_tpu.nn.norm import AdaIn1d, instance_norm_1d
 from cloud_transformers_tpu.nn.transforms import VolTransformer, PlaneTransformer
 from cloud_transformers_tpu.nn.multihead import MultiHead, MultiHeadUnion, MultiHeadPool
 from cloud_transformers_tpu.nn.multihead_adain import MultiHeadAdaIn, MultiHeadUnionAdaIn
+from cloud_transformers_tpu.nn.grouped_conv import GroupedConv
 from cloud_transformers_tpu.nn.conv_blocks import (
     Basic2DBlock,
     Basic3DBlock,
@@ -10,7 +11,6 @@ from cloud_transformers_tpu.nn.conv_blocks import (
     Pool3DBlock,
     Upsample3DBlock,
     V2VModel,
-    GridConv,
 )
 from cloud_transformers_tpu.nn.unet2d import DoubleConv, Down, Up, OutConv, GroupCat, UNet
 
@@ -24,6 +24,7 @@ __all__ = [
     "MultiHeadPool",
     "MultiHeadAdaIn",
     "MultiHeadUnionAdaIn",
+    "GroupedConv",
     "Basic2DBlock",
     "Basic3DBlock",
     "Res2DBlock",
@@ -31,7 +32,6 @@ __all__ = [
     "Pool3DBlock",
     "Upsample3DBlock",
     "V2VModel",
-    "GridConv",
     "DoubleConv",
     "Down",
     "Up",

@@ -210,23 +210,3 @@ class V2VModel(nn.Module):
         return nn.Conv(self.output_channels * g, kernel_size=(1, 1, 1),
                        feature_group_count=g, use_bias=True,
                        kernel_init=torch_kernel_init())(x)
-
-
-class GridConv(nn.Module):
-    """Grouped conv applied to a flat splat grid [B, H, G, F] (helper used by
-    standalone splat->conv->slice pipelines and benchmarks)."""
-
-    heads: int
-    features: int
-    spatial: Tuple[int, ...]
-
-    @nn.compact
-    def __call__(self, grid, train=True):
-        from cloud_transformers_tpu.nn.multihead import (
-            grid_to_spatial, spatial_to_grid)
-        dim = len(self.spatial)
-        gs = grid_to_spatial(grid, self.spatial)
-        gs = nn.Conv(self.heads * self.features, kernel_size=(3,) * dim,
-                     padding=1, feature_group_count=self.heads,
-                     kernel_init=torch_kernel_init())(gs)
-        return spatial_to_grid(gs, self.heads)
