@@ -226,8 +226,7 @@ def _splat_m_fwd(sizes, x0, lane0, w_lo, w_hi, values):
     return grid, (x0, lane0, w_lo, w_hi, values, grid)
 
 
-def _splat_m_bwd(sizes, res, g):
-    x0, lane0, w_lo, w_hi, values, grid = res
+def _splat_m_bwd_portable(sizes, x0, lane0, w_lo, w_hi, values, grid, g):
     mapping = _gm.GridMapping(x0, lane0, w_lo, w_hi)
     idx = _gm.flat_vertex_indices(mapping, sizes)      # [R, K, 8]
     w = _gm.vertex_weights(mapping)                    # [R, K, 8]
@@ -240,7 +239,24 @@ def _splat_m_bwd(sizes, res, g):
     d_contrib = jnp.where(win, gg, 0.0)                # [R, K, 8, F]
     d_w = jnp.sum(d_contrib * values[:, :, None, :], axis=-1)  # [R, K, 8]
     d_values = jnp.sum(d_contrib * w[..., None], axis=2)       # [R, K, F]
-    return (None, None, d_w[..., :4], d_w[..., 4:], d_values)
+    return d_w[..., :4], d_w[..., 4:], d_values
+
+
+def _splat_m_bwd(sizes, res, g):
+    from cloud_transformers_tpu.ops.pallas_splat import pallas_splat_bwd
+    x0, lane0, w_lo, w_hi, values, grid = res
+    feat = values.shape[-1]
+    if FORCE_XLA_PATH:
+        out = _splat_m_bwd_portable(sizes, x0, lane0, w_lo, w_hi, values,
+                                    grid, g)
+    else:
+        out = jax.lax.platform_dependent(
+            x0, lane0, w_lo, w_hi, values, grid, g,
+            tpu=lambda *a: pallas_splat_bwd(*a, sizes, feat),
+            default=lambda *a: _splat_m_bwd_portable(sizes, *a),
+        )
+    d_wlo, d_whi, d_values = out
+    return (None, None, d_wlo, d_whi, d_values)
 
 
 _splat_m.defvjp(_splat_m_fwd, _splat_m_bwd)

@@ -309,3 +309,145 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
         interpret=interpret,
     )(x0[:, None, :], lane0[:, None, :], lane0[..., None], w_lo, w_hi, gk)
     return out[:, :k, :feat]
+
+
+# ---------------------------------------------------------------------------
+# Splat backward kernel: winner-routed cotangents + weight/value grads
+# ---------------------------------------------------------------------------
+
+def _splat_bwd_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref,
+                      values_ref, grid_ref, g_ref,
+                      dwlo_ref, dwhi_ref, dval_ref,
+                      *, n_points, f_pad, lanes, lane_offs):
+    window = 256 if (lanes >= 512 and max(lane_offs) < 128) else lanes
+    windowed = window != lanes
+    lane_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, window), 1)
+
+    def tile_body(t, _):
+        p0 = pl.multiple_of(t * 8, 8)
+        vt = values_ref[0, pl.ds(p0, 8), :].T          # [F_pad, 8]
+        lane8 = lane0v_ref[0, pl.ds(p0, 8), :]
+        wlo8 = wlo_ref[0, pl.ds(p0, 8), :]
+        whi8 = whi_ref[0, pl.ds(p0, 8), :]
+        rel8 = (lane8 - jnp.minimum((lane8 >> 7) << 7, lanes - window)
+                if windowed else lane8)
+        hits = []
+        m_lo = jnp.zeros((8, window), jnp.float32)
+        m_hi = jnp.zeros((8, window), jnp.float32)
+        for jj, off in enumerate(lane_offs):
+            hit = (lane_iota8 == (rel8 + off)).astype(jnp.float32)
+            hits.append(hit)
+            m_lo = m_lo + wlo8[:, jj:jj + 1] * hit
+            m_hi = m_hi + whi8[:, jj:jj + 1] * hit
+
+        dval_cols = []
+        for j in range(8):
+            i = t * 8 + j
+            x0 = x0_ref[0, 0, i]
+            vcol = vt[:, j:j + 1]
+            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
+            if windowed:
+                lane0 = lane0_ref[0, 0, i]
+                win = pl.multiple_of(
+                    jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
+                cur = grid_ref[0, rows, pl.ds(win, window)]
+                gg = g_ref[0, rows, pl.ds(win, window)]
+            else:
+                cur = grid_ref[0, rows, :]
+                gg = g_ref[0, rows, :]
+            contrib = jnp.concatenate(
+                [vcol * m_lo[j:j + 1, :], vcol * m_hi[j:j + 1, :]], axis=0)
+            winner = (contrib == cur) & (cur > 0.0)
+            dcon = jnp.where(winner, gg, 0.0)           # [2F, W]
+            # d_w per vertex: sum_f v[f] * dcon[f, lane_s]
+            t_lo = jnp.sum(vcol * dcon[:f_pad], axis=0, keepdims=True)
+            t_hi = jnp.sum(vcol * dcon[f_pad:], axis=0, keepdims=True)
+            def row4(tt):
+                # all four pieces share shape/provenance (a constant-zero
+                # operand trips Mosaic's concat layout check)
+                pieces = [
+                    jnp.sum(tt * hits[min(jj, len(lane_offs) - 1)][j:j + 1, :],
+                            axis=1, keepdims=True)
+                    * (1.0 if jj < len(lane_offs) else 0.0)
+                    for jj in range(4)]
+                return jnp.concatenate(pieces, axis=1)
+
+            dwlo_ref[0, pl.ds(i, 1), :] = row4(t_lo)
+            dwhi_ref[0, pl.ds(i, 1), :] = row4(t_hi)
+            # d_values: sum_s w_s * dcon at the vertex lanes
+            dval_cols.append(jnp.sum(
+                dcon[:f_pad] * m_lo[j:j + 1, :]
+                + dcon[f_pad:] * m_hi[j:j + 1, :], axis=1, keepdims=True))
+        dval_ref[0, pl.ds(p0, 8), :] = jnp.concatenate(dval_cols, axis=1).T
+        return 0
+
+    jax.lax.fori_loop(0, n_points // 8, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "feat", "interpret"))
+def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
+                     interpret=False):
+    """Backward of the splat: cotangent ``g`` [R, G, F] routed to the argmax
+    winners -> (d_w_lo [R,K,4], d_w_hi [R,K,4], d_values [R,K,F])."""
+    r, k = x0.shape
+    x_dim = sizes[0]
+    lane_extent = int(np.prod(sizes[1:]))
+    lanes = max(128, lane_extent)
+    f_pad = max(8, feat)
+    k_pad = -(-k // 8) * 8
+    if values.shape[-1] != f_pad:
+        values = jnp.pad(values,
+                         ((0, 0), (0, 0), (0, f_pad - values.shape[-1])))
+    if k_pad != k:
+        x0 = jnp.pad(x0, ((0, 0), (0, k_pad - k)))
+        lane0 = jnp.pad(lane0, ((0, 0), (0, k_pad - k)))
+        w_lo = jnp.pad(w_lo, ((0, 0), (0, k_pad - k), (0, 0)))
+        w_hi = jnp.pad(w_hi, ((0, 0), (0, k_pad - k), (0, 0)))
+        values = jnp.pad(values, ((0, 0), (0, k_pad - k), (0, 0)))
+
+    def to_kernel_layout(a):
+        a4 = a.reshape(r, x_dim, lane_extent, a.shape[-1])
+        a4 = jnp.pad(a4, ((0, 0), (0, 0), (0, lanes - lane_extent),
+                          (0, f_pad - a.shape[-1])))
+        return a4.transpose(0, 1, 3, 2).reshape(r, x_dim * f_pad, lanes)
+
+    grid_k = to_kernel_layout(grid)
+    g_k = to_kernel_layout(g)
+
+    if len(sizes) == 2:
+        lane_offs = (0, 1)
+    else:
+        z = sizes[2]
+        lane_offs = (0, 1, z, z + 1)
+
+    kernel = functools.partial(
+        _splat_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
+        lane_offs=lane_offs)
+    spec_k = lambda shape: pl.BlockSpec(shape, lambda bh: (bh,) + (0,) * (
+        len(shape) - 1), memory_space=pltpu.VMEM)
+    dwlo, dwhi, dval = pl.pallas_call(
+        kernel,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            spec_k((1, k_pad, 1)),
+            spec_k((1, k_pad, 4)),
+            spec_k((1, k_pad, 4)),
+            spec_k((1, k_pad, f_pad)),
+            spec_k((1, x_dim * f_pad, lanes)),
+            spec_k((1, x_dim * f_pad, lanes)),
+        ],
+        out_specs=(spec_k((1, k_pad, 4)), spec_k((1, k_pad, 4)),
+                   spec_k((1, k_pad, f_pad))),
+        out_shape=(jax.ShapeDtypeStruct((r, k_pad, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((r, k_pad, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((r, k_pad, f_pad), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x0[:, None, :], lane0[:, None, :], lane0[..., None], w_lo, w_hi,
+      values, grid_k, g_k)
+    return dwlo[:, :k, :], dwhi[:, :k, :], dval[:, :k, :feat]
