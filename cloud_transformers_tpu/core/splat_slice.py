@@ -295,16 +295,40 @@ def _slice_m_fwd(sizes, x0, lane0, w_lo, w_hi, grid):
     return out, (x0, lane0, w_lo, w_hi, grid)
 
 
-def _slice_m_bwd(sizes, res, g):
-    x0, lane0, w_lo, w_hi, grid = res
-    # transpose of the weighted gather = vertex scatter-ADD of cotangents
-    d_grid = _scatter_generic(x0, lane0, w_lo, w_hi, g, sizes, "add")
+def _slice_dw_portable(sizes, x0, lane0, w_lo, w_hi, grid, g):
     mapping = _gm.GridMapping(x0, lane0, w_lo, w_hi)
     idx = _gm.flat_vertex_indices(mapping, sizes)
     r, k, s = idx.shape
     gathered = _gather_rows(grid, idx.reshape(r, k * s)).reshape(r, k, s, -1)
     d_w = jnp.sum(gathered * g[:, :, None, :], axis=-1)  # [R, K, 8]
-    return (None, None, d_w[..., :4], d_w[..., 4:], d_grid)
+    return d_w[..., :4], d_w[..., 4:]
+
+
+def _slice_m_bwd(sizes, res, g):
+    from cloud_transformers_tpu.ops.pallas_splat import pallas_slice_dw
+    x0, lane0, w_lo, w_hi, grid = res
+    # transpose of the weighted gather = vertex scatter-ADD of cotangents
+    d_grid = _scatter_generic(x0, lane0, w_lo, w_hi, g, sizes, "add")
+    feat = grid.shape[-1]
+    if PORTABLE_IMPL == "interpret":
+        def portable(x0, lane0, g, grid):
+            return pallas_slice_dw(x0, lane0, g, grid, sizes, feat,
+                                   interpret=True)
+    else:
+        def portable(x0, lane0, g, grid):
+            return _slice_dw_portable(sizes, x0, lane0, w_lo, w_hi, grid, g)
+    if FORCE_XLA_PATH:
+        d_wlo, d_whi = _slice_dw_portable(sizes, x0, lane0, w_lo, w_hi,
+                                          grid, g)
+    else:
+        # the XLA row-gather formulation costs ~33 ms at production shape on
+        # TPU; the kernel reuses the splat windowing
+        d_wlo, d_whi = jax.lax.platform_dependent(
+            x0, lane0, g, grid,
+            tpu=lambda *a: pallas_slice_dw(*a, sizes, feat),
+            default=portable,
+        )
+    return (None, None, d_wlo, d_whi, d_grid)
 
 
 _slice_m.defvjp(_slice_m_fwd, _slice_m_bwd)

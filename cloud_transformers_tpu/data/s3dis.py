@@ -81,10 +81,15 @@ def _synthetic_blocks(n_items=64, n_points=4096, n_classes=13, seed=0):
 class Indoor3DSemSeg:
     def __init__(self, data_dir=None, num_points=4096, train=True,
                  data_percent=1.0, aug=False, test_area="Area_5", seed=0,
-                 synthetic_items=64):
+                 synthetic_items=64, aug_elastic=False, aug_dropout=False):
+        """``aug_elastic`` / ``aug_dropout`` enable the ElasticDistortion and
+        RandomDropout transforms the reference defines (s3dis_v2.py:226-290)
+        but leaves out of its active pipeline (:552-574) — opt-in here too."""
         self.num_points = num_points
         self.train = train
         self.aug = aug and train
+        self.aug_elastic = aug_elastic and self.aug
+        self.aug_dropout = aug_dropout and self.aug
         self._rng = np.random.RandomState(seed)
 
         if data_dir and os.path.exists(
@@ -135,5 +140,13 @@ class Indoor3DSemSeg:
                                                         ratio=0.10)
             pts[:, 3:6] = augment.chromatic_jitter(pts[:, 3:6], rng, std=0.05)
             pts[:, 3:6] = hue_saturation_translation(pts[:, 3:6], rng)
+            if self.aug_elastic:
+                # two-scale field as the reference's ELASTIC_DISTORT_PARAMS
+                pts[:, :3] = augment.elastic_distortion(
+                    pts[:, :3], 0.2, 0.4, rng)
+                pts[:, :3] = augment.elastic_distortion(
+                    pts[:, :3], 0.8, 1.6, rng)
+            if self.aug_dropout:
+                pts, lab = augment.random_dropout(pts, lab, rng)
 
         return {"pcd": pts.astype(np.float32), "label": lab.astype(np.int32)}

@@ -151,9 +151,20 @@ def emd_auction(xyz1, xyz2, eps=0.005, iters=50, chunk_size=2048):
              jnp.zeros((b, n), jnp.float32))
 
     if iters > 1:
-        def body(_, s):
-            return _auction_round(x1, x2, eps, chunk_size, s, last=False)
-        state = jax.lax.fori_loop(0, iters - 1, body, state)
+        # while_loop with a convergence predicate: once every point is
+        # assigned no bid can change the state, so exit early — the
+        # eval protocol's 3000-round budget (train_inpainter.py:267-269)
+        # then costs only as many rounds as the auction actually needs.
+        def cond(carry):
+            i, s = carry
+            return (i < iters - 1) & jnp.any(s[0] < 0)
+
+        def body(carry):
+            i, s = carry
+            return i + 1, _auction_round(x1, x2, eps, chunk_size, s,
+                                         last=False)
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     state = _auction_round(x1, x2, eps, chunk_size, state, last=True)
     assignment = state[0]
 

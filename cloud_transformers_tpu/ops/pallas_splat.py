@@ -4,18 +4,34 @@ The splat op (SURVEY.md N4) is a scatter of S=2**dim weighted copies of each
 point's feature vector into its enclosing grid-cell vertices.  XLA's TPU
 scatter lowering costs ~40 cycles/update; this kernel performs the update
 loop directly on a VMEM-resident grid, applying all S vertex contributions of
-a point with two masked row-block read-modify-writes, with the weight/mask
+a point with one masked row-block read-modify-write, with the weight/mask
 arithmetic vectorized on the VPU.
 
 Grid memory layout inside the kernel: rows = x * F_pad + f, lanes = y (2D) or
 y*Z + z (3D), padded to >= 128 lanes.  A point's S vertices live in exactly
 two row blocks (x and x+1) and at 2 (2D) or 4 (3D) lanes — each vertex weight
-becomes a lane-one-hot, combined into one [F, L] outer-product update per row
-block.
+becomes a lane-one-hot, combined into one [2F, L] outer-product update.
+
+Tuning (measured on v5e, R=128 K=2048 F=8, 32^3 grid):
+* 128-point tiles: the fori_loop/tile fixed costs dominated 8-point tiles
+  (28 -> 65 Mpt/s);
+* alternating even/odd points between the output grid and a second scratch
+  grid (merged once at the end) breaks read-after-write chains between
+  consecutive dynamic RMWs (+10-20%);
+* keeping the two row blocks fused in a single concat'd [2F, W] RMW beats
+  splitting into two [F, W] RMWs (fewer dynamic addresses);
+* bf16 in-kernel arithmetic measured *slower* than f32 (packing casts
+  dominate) — the kernels stay f32; use bf16 on the MXU ops outside.
 
 The same structure computes the scatter-ADD transpose of the slice gather
 (op='add'), the backward of Slice.  The sorted segment reduction
 (ops/segment.py) is the portable fallback used on CPU.
+
+A sorted-segment redesign (sort points by grid row so RMWs amortize per
+segment) was prototyped and REJECTED: the XLA-side argsort+searchsorted+
+gather prep costs ~80 ms at production shape — far more than the kernel it
+would save.  Measurement note: on this tunneled runtime block_until_ready
+can return early; always force a host readback when timing.
 """
 
 import functools
@@ -26,61 +42,95 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# grids larger than this (bytes) skip the second scratch grid (VMEM budget)
+_DUAL_LIMIT = 2 * 1024 * 1024
+
+
+def _pick_tile(k, interpret):
+    if interpret:
+        return 8
+    return min(128, -(-k // 8) * 8)
+
+
+def _pad_points(tile, k, *arrays):
+    if k % tile == 0:
+        return (k,) + arrays
+    extra = tile - k % tile
+    out = []
+    for a in arrays:
+        pad = [(0, 0)] * a.ndim
+        pad[1] = (0, extra)
+        out.append(jnp.pad(a, pad))
+    return (k + extra,) + tuple(out)
+
+
+def _window_of(lanes, lane_offs):
+    window = 256 if (lanes >= 512 and max(lane_offs) < 128) else lanes
+    return window, window != lanes
+
+
+def _build_masks(lane_iota, rel, w_lo, w_hi, lane_offs):
+    """Per-point lane one-hot masks combined with vertex weights.
+
+    rel [T, 1], w_lo/w_hi [T, 4] -> m_lo, m_hi [T, window]."""
+    t, window = lane_iota.shape
+    m_lo = jnp.zeros((t, window), jnp.float32)
+    m_hi = jnp.zeros((t, window), jnp.float32)
+    hits = []
+    for jj, off in enumerate(lane_offs):
+        hit = (lane_iota == (rel + off)).astype(jnp.float32)
+        hits.append(hit)
+        m_lo = m_lo + w_lo[:, jj:jj + 1] * hit
+        m_hi = m_hi + w_hi[:, jj:jj + 1] * hit
+    return m_lo, m_hi, hits
+
 
 def _splat_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref,
-                  values_ref, out_ref, *, n_points, f_pad, lanes, lane_offs,
-                  op):
+                  values_ref, out_ref, *scratch, n_points, f_pad, lanes,
+                  lane_offs, op, tile, dual):
     out_ref[:] = jnp.zeros_like(out_ref)
-    # wide grids: touch only a 256-lane window around the target lanes
-    # (the 4 vertex lanes span at most Z+2 <= 128+1 positions)
-    window = 256 if (lanes >= 512 and max(lane_offs) < 128) else lanes
-    windowed = window != lanes
-    lane_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, window), 1)
+    alt_ref = scratch[0] if dual else None
+    if dual:
+        alt_ref[:] = jnp.zeros_like(alt_ref)
+    window, windowed = _window_of(lanes, lane_offs)
+    T = tile
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
+    comb = jnp.maximum if op == "max" else jnp.add
 
     def tile_body(t, _):
-        # Vectorize the mask/weight arithmetic over a tile of 8 points: per
-        # point only the two fused row-block RMWs remain (the memory ops were
-        # measured nearly free; the per-point scalar mask math was the cost).
-        p0 = pl.multiple_of(t * 8, 8)
-        vt = values_ref[0, pl.ds(p0, 8), :].T          # [F_pad, 8]
-        lane8 = lane0v_ref[0, pl.ds(p0, 8), :]         # [8, 1] int32
-        wlo8 = wlo_ref[0, pl.ds(p0, 8), :]             # [8, 4]
-        whi8 = whi_ref[0, pl.ds(p0, 8), :]
+        p0 = pl.multiple_of(t * T, T)
+        vt = values_ref[0, pl.ds(p0, T), :].T          # [F_pad, T]
+        lane_t = lane0v_ref[0, pl.ds(p0, T), :]        # [T, 1] int32
+        wlo_t = wlo_ref[0, pl.ds(p0, T), :]            # [T, 4]
+        whi_t = whi_ref[0, pl.ds(p0, T), :]
         if windowed:
-            # per-point window base, kept in lane-relative coordinates
-            win8 = jnp.minimum((lane8 >> 7) << 7, lanes - window)
-            rel8 = lane8 - win8
+            rel = lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
         else:
-            rel8 = lane8
-        m_lo = jnp.zeros((8, window), jnp.float32)
-        m_hi = jnp.zeros((8, window), jnp.float32)
-        for jj, off in enumerate(lane_offs):
-            hit = (lane_iota8 == (rel8 + off)).astype(jnp.float32)
-            m_lo = m_lo + wlo8[:, jj:jj + 1] * hit
-            m_hi = m_hi + whi8[:, jj:jj + 1] * hit
+            rel = lane_t
+        m_lo, m_hi, _ = _build_masks(lane_iota, rel, wlo_t, whi_t, lane_offs)
 
-        for j in range(8):
-            i = t * 8 + j
+        for j in range(T):
+            i = t * T + j
             x0 = x0_ref[0, 0, i]
-            vcol = vt[:, j:j + 1]  # [F_pad, 1], static lane slice
+            vcol = vt[:, j:j + 1]
             upd = jnp.concatenate(
-                [vcol * m_lo[j:j + 1, :], vcol * m_hi[j:j + 1, :]],
-                axis=0)  # [2*F_pad, window] — rows x0 and x0+1 fused
+                [vcol * m_lo[j:j + 1, :], vcol * m_hi[j:j + 1, :]], axis=0)
             rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
+            tgt = alt_ref if (dual and (j & 1)) else out_ref
             if windowed:
                 lane0 = lane0_ref[0, 0, i]
                 win = pl.multiple_of(
                     jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
-                cur = out_ref[0, rows, pl.ds(win, window)]
-                new = jnp.maximum(cur, upd) if op == "max" else cur + upd
-                out_ref[0, rows, pl.ds(win, window)] = new
+                cur = tgt[0, rows, pl.ds(win, window)]
+                tgt[0, rows, pl.ds(win, window)] = comb(cur, upd)
             else:
-                cur = out_ref[0, rows, :]
-                new = jnp.maximum(cur, upd) if op == "max" else cur + upd
-                out_ref[0, rows, :] = new
+                cur = tgt[0, rows, :]
+                tgt[0, rows, :] = comb(cur, upd)
         return 0
 
-    jax.lax.fori_loop(0, n_points // 8, tile_body, 0)
+    jax.lax.fori_loop(0, n_points // T, tile_body, 0)
+    if dual:
+        out_ref[:] = comb(out_ref[:], alt_ref[:])
 
 
 @functools.partial(jax.jit,
@@ -111,15 +161,9 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
     if values.shape[-1] != f_pad:
         values = jnp.pad(values,
                          ((0, 0), (0, 0), (0, f_pad - values.shape[-1])))
-    if k % 8:
-        # pad to a whole 8-point tile with zero-weight points
-        extra = 8 - k % 8
-        x0 = jnp.pad(x0, ((0, 0), (0, extra)))
-        lane0 = jnp.pad(lane0, ((0, 0), (0, extra)))
-        w_lo = jnp.pad(w_lo, ((0, 0), (0, extra), (0, 0)))
-        w_hi = jnp.pad(w_hi, ((0, 0), (0, extra), (0, 0)))
-        values = jnp.pad(values, ((0, 0), (0, extra), (0, 0)))
-        k += extra
+    tile = _pick_tile(k, interpret)
+    k, x0, lane0, w_lo, w_hi, values = _pad_points(
+        tile, k, x0, lane0, w_lo, w_hi, values)
 
     if len(sizes) == 2:
         lane_offs = (0, 1)
@@ -127,9 +171,11 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
         z = sizes[2]
         lane_offs = (0, 1, z, z + 1)
 
+    grid_bytes = x_dim * f_pad * lanes * 4
+    dual = grid_bytes <= _DUAL_LIMIT
     kernel = functools.partial(
         _splat_kernel, n_points=k, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, op=op)
+        lane_offs=lane_offs, op=op, tile=tile, dual=dual)
 
     out = pl.pallas_call(
         kernel,
@@ -153,6 +199,8 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, x_dim * f_pad, lanes),
                                        jnp.float32),
+        scratch_shapes=([pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32)]
+                        if dual else []),
         interpret=interpret,
     )(x0[:, None, :], lane0[:, None, :], lane0[..., None], w_lo, w_hi,
       values)  # values [R, K, F_pad]
@@ -214,28 +262,23 @@ def vertex_decomposition(keys_scaled, sizes):
 # ---------------------------------------------------------------------------
 
 def _slice_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref, grid_ref,
-                  out_ref, *, n_points, f_pad, lanes, lane_offs):
-    window = 256 if (lanes >= 512 and max(lane_offs) < 128) else lanes
-    windowed = window != lanes
-    lane_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, window), 1)
+                  out_ref, cols_ref, *, n_points, f_pad, lanes, lane_offs,
+                  tile):
+    window, windowed = _window_of(lanes, lane_offs)
+    T = tile
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
 
     def tile_body(t, _):
-        p0 = pl.multiple_of(t * 8, 8)
-        lane8 = lane0v_ref[0, pl.ds(p0, 8), :]
-        wlo8 = wlo_ref[0, pl.ds(p0, 8), :]
-        whi8 = whi_ref[0, pl.ds(p0, 8), :]
-        rel8 = (lane8 - jnp.minimum((lane8 >> 7) << 7, lanes - window)
-                if windowed else lane8)
-        m_lo = jnp.zeros((8, window), jnp.float32)
-        m_hi = jnp.zeros((8, window), jnp.float32)
-        for jj, off in enumerate(lane_offs):
-            hit = (lane_iota8 == (rel8 + off)).astype(jnp.float32)
-            m_lo = m_lo + wlo8[:, jj:jj + 1] * hit
-            m_hi = m_hi + whi8[:, jj:jj + 1] * hit
+        p0 = pl.multiple_of(t * T, T)
+        lane_t = lane0v_ref[0, pl.ds(p0, T), :]
+        wlo_t = wlo_ref[0, pl.ds(p0, T), :]
+        whi_t = whi_ref[0, pl.ds(p0, T), :]
+        rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
+               if windowed else lane_t)
+        m_lo, m_hi, _ = _build_masks(lane_iota, rel, wlo_t, whi_t, lane_offs)
 
-        cols = []
-        for j in range(8):
-            i = t * 8 + j
+        for j in range(T):
+            i = t * T + j
             x0 = x0_ref[0, 0, i]
             rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
             if windowed:
@@ -247,11 +290,12 @@ def _slice_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref, grid_ref,
                 cur = grid_ref[0, rows, :]
             prod = (cur[:f_pad] * m_lo[j:j + 1, :]
                     + cur[f_pad:] * m_hi[j:j + 1, :])
-            cols.append(jnp.sum(prod, axis=1, keepdims=True))  # [F_pad, 1]
-        out_ref[0, pl.ds(p0, 8), :] = jnp.concatenate(cols, axis=1).T
+            # column j of the tile's output, assembled in scratch
+            cols_ref[:, j:j + 1] = jnp.sum(prod, axis=1, keepdims=True)
+        out_ref[0, pl.ds(p0, T), :] = cols_ref[:].T
         return 0
 
-    jax.lax.fori_loop(0, n_points // 8, tile_body, 0)
+    jax.lax.fori_loop(0, n_points // T, tile_body, 0)
 
 
 @functools.partial(jax.jit,
@@ -259,17 +303,14 @@ def _slice_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref, grid_ref,
 def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
     """Fused multi-vertex slice: grid [R, G, F] -> per-point weighted sums
     [R, K, F]. Inputs as in pallas_splat."""
-    r, k = x0.shape
+    r, k_orig = x0.shape
     x_dim = sizes[0]
     lane_extent = int(np.prod(sizes[1:]))
     lanes = max(128, lane_extent)
     f_pad = max(8, feat)
-    k_pad = -(-k // 8) * 8
-    if k_pad != k:
-        x0 = jnp.pad(x0, ((0, 0), (0, k_pad - k)))
-        lane0 = jnp.pad(lane0, ((0, 0), (0, k_pad - k)))
-        w_lo = jnp.pad(w_lo, ((0, 0), (0, k_pad - k), (0, 0)))
-        w_hi = jnp.pad(w_hi, ((0, 0), (0, k_pad - k), (0, 0)))
+    tile = _pick_tile(k_orig, interpret)
+    k_pad, x0, lane0, w_lo, w_hi = _pad_points(
+        tile, k_orig, x0, lane0, w_lo, w_hi)
 
     # [R, G, F] -> kernel layout [R, X*F_pad, lanes]
     g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
@@ -285,7 +326,7 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
 
     kernel = functools.partial(
         _slice_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs)
+        lane_offs=lane_offs, tile=tile)
     out = pl.pallas_call(
         kernel,
         grid=(r,),
@@ -306,9 +347,10 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
         out_specs=pl.BlockSpec((1, k_pad, f_pad), lambda bh: (bh, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, k_pad, f_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((f_pad, tile), jnp.float32)],
         interpret=interpret,
     )(x0[:, None, :], lane0[:, None, :], lane0[..., None], w_lo, w_hi, gk)
-    return out[:, :k, :feat]
+    return out[:, :k_orig, :feat]
 
 
 # ---------------------------------------------------------------------------
@@ -318,31 +360,25 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
 def _splat_bwd_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref,
                       values_ref, grid_ref, g_ref,
                       dwlo_ref, dwhi_ref, dval_ref,
-                      *, n_points, f_pad, lanes, lane_offs):
-    window = 256 if (lanes >= 512 and max(lane_offs) < 128) else lanes
-    windowed = window != lanes
-    lane_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, window), 1)
+                      tlo_s, thi_s, dval_s,
+                      *, n_points, f_pad, lanes, lane_offs, tile):
+    window, windowed = _window_of(lanes, lane_offs)
+    T = tile
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
 
     def tile_body(t, _):
-        p0 = pl.multiple_of(t * 8, 8)
-        vt = values_ref[0, pl.ds(p0, 8), :].T          # [F_pad, 8]
-        lane8 = lane0v_ref[0, pl.ds(p0, 8), :]
-        wlo8 = wlo_ref[0, pl.ds(p0, 8), :]
-        whi8 = whi_ref[0, pl.ds(p0, 8), :]
-        rel8 = (lane8 - jnp.minimum((lane8 >> 7) << 7, lanes - window)
-                if windowed else lane8)
-        hits = []
-        m_lo = jnp.zeros((8, window), jnp.float32)
-        m_hi = jnp.zeros((8, window), jnp.float32)
-        for jj, off in enumerate(lane_offs):
-            hit = (lane_iota8 == (rel8 + off)).astype(jnp.float32)
-            hits.append(hit)
-            m_lo = m_lo + wlo8[:, jj:jj + 1] * hit
-            m_hi = m_hi + whi8[:, jj:jj + 1] * hit
+        p0 = pl.multiple_of(t * T, T)
+        vt = values_ref[0, pl.ds(p0, T), :].T          # [F_pad, T]
+        lane_t = lane0v_ref[0, pl.ds(p0, T), :]
+        wlo_t = wlo_ref[0, pl.ds(p0, T), :]
+        whi_t = whi_ref[0, pl.ds(p0, T), :]
+        rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
+               if windowed else lane_t)
+        m_lo, m_hi, hits = _build_masks(lane_iota, rel, wlo_t, whi_t,
+                                        lane_offs)
 
-        dval_cols = []
-        for j in range(8):
-            i = t * 8 + j
+        for j in range(T):
+            i = t * T + j
             x0 = x0_ref[0, 0, i]
             vcol = vt[:, j:j + 1]
             rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
@@ -359,29 +395,32 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref,
                 [vcol * m_lo[j:j + 1, :], vcol * m_hi[j:j + 1, :]], axis=0)
             winner = (contrib == cur) & (cur > 0.0)
             dcon = jnp.where(winner, gg, 0.0)           # [2F, W]
-            # d_w per vertex: sum_f v[f] * dcon[f, lane_s]
-            t_lo = jnp.sum(vcol * dcon[:f_pad], axis=0, keepdims=True)
-            t_hi = jnp.sum(vcol * dcon[f_pad:], axis=0, keepdims=True)
-            def row4(tt):
-                # all four pieces share shape/provenance (a constant-zero
-                # operand trips Mosaic's concat layout check)
-                pieces = [
-                    jnp.sum(tt * hits[min(jj, len(lane_offs) - 1)][j:j + 1, :],
+            # per-point rows of sum_f v[f]*dcon[f, :]; the per-vertex lane
+            # extraction happens once per tile below (stacked over T points —
+            # 8 per-point lane reductions collapse into 8 per-tile ones)
+            tlo_s[j:j + 1, :] = jnp.sum(vcol * dcon[:f_pad], axis=0,
+                                        keepdims=True)
+            thi_s[j:j + 1, :] = jnp.sum(vcol * dcon[f_pad:], axis=0,
+                                        keepdims=True)
+            # d_values: sum_s w_s * dcon at the vertex lanes
+            dval_s[:, j:j + 1] = jnp.sum(
+                dcon[:f_pad] * m_lo[j:j + 1, :]
+                + dcon[f_pad:] * m_hi[j:j + 1, :], axis=1, keepdims=True)
+        # d_w per vertex: dw[j, jj] = sum_l tvec[j, l] * hit_jj[j, l]
+        t_lo = tlo_s[:]
+        t_hi = thi_s[:]
+        def dw4(tvec):
+            cols = [jnp.sum(tvec * hits[min(jj, len(lane_offs) - 1)],
                             axis=1, keepdims=True)
                     * (1.0 if jj < len(lane_offs) else 0.0)
                     for jj in range(4)]
-                return jnp.concatenate(pieces, axis=1)
-
-            dwlo_ref[0, pl.ds(i, 1), :] = row4(t_lo)
-            dwhi_ref[0, pl.ds(i, 1), :] = row4(t_hi)
-            # d_values: sum_s w_s * dcon at the vertex lanes
-            dval_cols.append(jnp.sum(
-                dcon[:f_pad] * m_lo[j:j + 1, :]
-                + dcon[f_pad:] * m_hi[j:j + 1, :], axis=1, keepdims=True))
-        dval_ref[0, pl.ds(p0, 8), :] = jnp.concatenate(dval_cols, axis=1).T
+            return jnp.concatenate(cols, axis=1)        # [T, 4]
+        dwlo_ref[0, pl.ds(p0, T), :] = dw4(t_lo)
+        dwhi_ref[0, pl.ds(p0, T), :] = dw4(t_hi)
+        dval_ref[0, pl.ds(p0, T), :] = dval_s[:].T
         return 0
 
-    jax.lax.fori_loop(0, n_points // 8, tile_body, 0)
+    jax.lax.fori_loop(0, n_points // T, tile_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "feat", "interpret"))
@@ -389,21 +428,17 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
                      interpret=False):
     """Backward of the splat: cotangent ``g`` [R, G, F] routed to the argmax
     winners -> (d_w_lo [R,K,4], d_w_hi [R,K,4], d_values [R,K,F])."""
-    r, k = x0.shape
+    r, k_orig = x0.shape
     x_dim = sizes[0]
     lane_extent = int(np.prod(sizes[1:]))
     lanes = max(128, lane_extent)
     f_pad = max(8, feat)
-    k_pad = -(-k // 8) * 8
     if values.shape[-1] != f_pad:
         values = jnp.pad(values,
                          ((0, 0), (0, 0), (0, f_pad - values.shape[-1])))
-    if k_pad != k:
-        x0 = jnp.pad(x0, ((0, 0), (0, k_pad - k)))
-        lane0 = jnp.pad(lane0, ((0, 0), (0, k_pad - k)))
-        w_lo = jnp.pad(w_lo, ((0, 0), (0, k_pad - k), (0, 0)))
-        w_hi = jnp.pad(w_hi, ((0, 0), (0, k_pad - k), (0, 0)))
-        values = jnp.pad(values, ((0, 0), (0, k_pad - k), (0, 0)))
+    tile = _pick_tile(k_orig, interpret)
+    k_pad, x0, lane0, w_lo, w_hi, values = _pad_points(
+        tile, k_orig, x0, lane0, w_lo, w_hi, values)
 
     def to_kernel_layout(a):
         a4 = a.reshape(r, x_dim, lane_extent, a.shape[-1])
@@ -419,10 +454,11 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
     else:
         z = sizes[2]
         lane_offs = (0, 1, z, z + 1)
+    window, _ = _window_of(lanes, lane_offs)
 
     kernel = functools.partial(
         _splat_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs)
+        lane_offs=lane_offs, tile=tile)
     spec_k = lambda shape: pl.BlockSpec(shape, lambda bh: (bh,) + (0,) * (
         len(shape) - 1), memory_space=pltpu.VMEM)
     dwlo, dwhi, dval = pl.pallas_call(
@@ -445,9 +481,126 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
         out_shape=(jax.ShapeDtypeStruct((r, k_pad, 4), jnp.float32),
                    jax.ShapeDtypeStruct((r, k_pad, 4), jnp.float32),
                    jax.ShapeDtypeStruct((r, k_pad, f_pad), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((tile, window), jnp.float32),
+                        pltpu.VMEM((tile, window), jnp.float32),
+                        pltpu.VMEM((f_pad, tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x0[:, None, :], lane0[:, None, :], lane0[..., None], w_lo, w_hi,
       values, grid_k, g_k)
-    return dwlo[:, :k, :], dwhi[:, :k, :], dval[:, :k, :feat]
+    return dwlo[:, :k_orig, :], dwhi[:, :k_orig, :], dval[:, :k_orig, :feat]
+
+
+# ---------------------------------------------------------------------------
+# Slice backward d_w kernel: dw[k, s] = sum_f grid[vertex_s, f] * g[k, f]
+# ---------------------------------------------------------------------------
+
+def _slice_dw_kernel(x0_ref, lane0_ref, lane0v_ref, g_pts_ref, grid_ref,
+                     dwlo_ref, dwhi_ref, ulo_s, uhi_s,
+                     *, n_points, f_pad, lanes, lane_offs, tile):
+    window, windowed = _window_of(lanes, lane_offs)
+    T = tile
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
+
+    def tile_body(t, _):
+        p0 = pl.multiple_of(t * T, T)
+        gt = g_pts_ref[0, pl.ds(p0, T), :].T           # [F_pad, T]
+        lane_t = lane0v_ref[0, pl.ds(p0, T), :]
+        rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
+               if windowed else lane_t)
+        hits = [(lane_iota == (rel + off)).astype(jnp.float32)
+                for off in lane_offs]
+
+        for j in range(T):
+            i = t * T + j
+            x0 = x0_ref[0, 0, i]
+            gcol = gt[:, j:j + 1]                       # [F_pad, 1]
+            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
+            if windowed:
+                lane0 = lane0_ref[0, 0, i]
+                win = pl.multiple_of(
+                    jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
+                cur = grid_ref[0, rows, pl.ds(win, window)]
+            else:
+                cur = grid_ref[0, rows, :]
+            # u[j, l] = sum_f grid[f, l] * g[j, f] per row block
+            ulo_s[j:j + 1, :] = jnp.sum(gcol * cur[:f_pad], axis=0,
+                                        keepdims=True)
+            uhi_s[j:j + 1, :] = jnp.sum(gcol * cur[f_pad:], axis=0,
+                                        keepdims=True)
+
+        def dw4(uvec):
+            cols = [jnp.sum(uvec * hits[min(jj, len(lane_offs) - 1)],
+                            axis=1, keepdims=True)
+                    * (1.0 if jj < len(lane_offs) else 0.0)
+                    for jj in range(4)]
+            return jnp.concatenate(cols, axis=1)        # [T, 4]
+        dwlo_ref[0, pl.ds(p0, T), :] = dw4(ulo_s[:])
+        dwhi_ref[0, pl.ds(p0, T), :] = dw4(uhi_s[:])
+        return 0
+
+    jax.lax.fori_loop(0, n_points // T, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "feat", "interpret"))
+def pallas_slice_dw(x0, lane0, g_pts, grid, sizes, feat, interpret=False):
+    """d_w of the slice: per-point-vertex dot of the gathered grid rows with
+    the point cotangent (the XLA row-gather formulation costs ~33 ms at
+    production shape; this kernel reuses the splat windowing).
+
+    Returns (d_w_lo [R,K,4], d_w_hi [R,K,4])."""
+    r, k_orig = x0.shape
+    x_dim = sizes[0]
+    lane_extent = int(np.prod(sizes[1:]))
+    lanes = max(128, lane_extent)
+    f_pad = max(8, feat)
+    if g_pts.shape[-1] != f_pad:
+        g_pts = jnp.pad(g_pts,
+                        ((0, 0), (0, 0), (0, f_pad - g_pts.shape[-1])))
+    tile = _pick_tile(k_orig, interpret)
+    k_pad, x0, lane0, g_pts = _pad_points(tile, k_orig, x0, lane0, g_pts)
+
+    g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
+    g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, lanes - lane_extent),
+                      (0, f_pad - grid.shape[-1])))
+    gk = g4.transpose(0, 1, 3, 2).reshape(r, x_dim * f_pad, lanes)
+
+    if len(sizes) == 2:
+        lane_offs = (0, 1)
+    else:
+        z = sizes[2]
+        lane_offs = (0, 1, z, z + 1)
+    window, _ = _window_of(lanes, lane_offs)
+
+    kernel = functools.partial(
+        _slice_dw_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
+        lane_offs=lane_offs, tile=tile)
+    dwlo, dwhi = pl.pallas_call(
+        kernel,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k_pad, 1), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad, f_pad), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, x_dim * f_pad, lanes), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, k_pad, 4), lambda bh: (bh, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, k_pad, 4), lambda bh: (bh, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((r, k_pad, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((r, k_pad, 4), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((tile, window), jnp.float32),
+                        pltpu.VMEM((tile, window), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x0[:, None, :], lane0[:, None, :], lane0[..., None], g_pts, gk)
+    return dwlo[:, :k_orig, :], dwhi[:, :k_orig, :]

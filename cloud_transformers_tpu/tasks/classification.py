@@ -63,10 +63,19 @@ def make_datasets(cfg, synthetic=False):
 
 
 class ClassEvalAccumulator:
-    """Per-class accuracy accumulation (train_classification.py:337-350)."""
+    """Per-class accuracy accumulation (train_classification.py:337-350).
+
+    Plugged into Trainer.validate as the eval hook: its compute() overrides
+    the batch-mean cls_acc with the exact pooled OA and adds m_acc, which
+    gates the reference's ``macc_best`` checkpoint
+    (train_classification.py:362-374)."""
 
     def __init__(self, n_classes):
+        self.n_classes = n_classes
         self.cm = ConfusionAccumulator(n_classes)
+
+    def reset(self):
+        self.cm = ConfusionAccumulator(self.n_classes)
 
     def __call__(self, batch, metrics):
         self.cm.update(metrics["pred"], batch["label"])

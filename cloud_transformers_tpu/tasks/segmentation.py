@@ -46,6 +46,8 @@ def make_datasets(cfg, synthetic=False):
                   test_area=d.get("test_area", "Area_5"))
     train_ds = Indoor3DSemSeg(path, train=True, aug=d.get("aug", True),
                               data_percent=d.get("data_percent", 1.0),
+                              aug_elastic=d.get("aug_elastic", False),
+                              aug_dropout=d.get("aug_dropout", False),
                               **kwargs)
     val_ds = Indoor3DSemSeg(path, train=False, aug=False, **kwargs)
     train_loader = DataLoader(train_ds, d["batch_size"], shuffle=True,
@@ -62,7 +64,11 @@ class SegEvalAccumulator:
     """Streaming confusion matrix -> OA / mAcc / per-class IoU / mIoU."""
 
     def __init__(self, n_classes=13):
+        self.n_classes = n_classes
         self.cm = ConfusionAccumulator(n_classes)
+
+    def reset(self):
+        self.cm = ConfusionAccumulator(self.n_classes)
 
     def __call__(self, batch, metrics):
         self.cm.update(metrics["pred"], batch["label"])

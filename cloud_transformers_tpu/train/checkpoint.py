@@ -24,19 +24,35 @@ class CheckpointManager:
     def _path(self, tag) -> str:
         return os.path.join(self.exp_dir, f"ckpt_{tag}")
 
-    def save(self, state, tag, force=True):
+    def save(self, state, tag, force=True, meta: Optional[dict] = None):
         """Save a TrainState under a tag ('latest', 'best', an epoch number,
-        or an iteration count)."""
+        or an iteration count).
+
+        ``meta`` (global_step / epoch / rng ...) rides along so a killed run
+        resumes seamlessly — the reference restores model + optimizer and
+        resumes epochs (utils/train_util_distributed.py:91-103)."""
         path = self._path(tag)
-        self._ckptr.save(path, jax.device_get(state), force=force)
+        payload = {"state": jax.device_get(state)}
+        if meta is not None:
+            payload["meta"] = jax.device_get(meta)
+        self._ckptr.save(path, payload, force=force)
         self._ckptr.wait_until_finished()
         return path
 
-    def restore(self, state, tag="latest", path: Optional[str] = None):
-        """Restore into the (abstract) structure of ``state``."""
+    def restore(self, state, tag="latest", path: Optional[str] = None,
+                meta: Optional[dict] = None):
+        """Restore into the (abstract) structure of ``state`` (+ optional
+        ``meta`` skeleton). Returns state or (state, meta)."""
         path = path or self._path(tag)
-        target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
-        return self._ckptr.restore(path, target)
+        target = {"state": jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, state)}
+        if meta is not None:
+            target["meta"] = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, meta)
+        restored = self._ckptr.restore(path, target)
+        if meta is not None:
+            return restored["state"], restored["meta"]
+        return restored["state"]
 
     def exists(self, tag="latest") -> bool:
         return os.path.isdir(self._path(tag))
@@ -51,3 +67,13 @@ def restore_params_only(ckpt_path: str, state):
     restored = mgr.restore(state, tag=tag)
     return state.replace(params=restored.params,
                          batch_stats=restored.batch_stats)
+
+
+def save_params_only(params, batch_stats, path: str):
+    """Save a bare {params, batch_stats} tree (converter / export paths)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path),
+               {"state": {"params": jax.device_get(params),
+                          "batch_stats": jax.device_get(batch_stats)}},
+               force=True)
+    ckptr.wait_until_finished()

@@ -18,6 +18,7 @@ import time
 from typing import Any, Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cloud_transformers_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -64,6 +65,27 @@ class Trainer:
                                    donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
+        # auto-resume: a killed run continues from ckpt_latest with its
+        # optimizer state, step, epoch, and rng (the reference resumes
+        # model+optimizer+epoch via restore_exp, train_util.py:82-118 +
+        # train_util_distributed.py:91-103)
+        if (bool(cfg.get("train", {}).get("auto_resume", True))
+                and self.ckpt.exists("latest")):
+            try:
+                state, meta = self.ckpt.restore(
+                    jax.device_get(self.state), tag="latest",
+                    meta=self._meta())
+                self.state = replicate(self.mesh, state)
+                self.global_step = int(meta["global_step"])
+                self.epoch = int(meta["epoch"])
+                self.rng = meta["rng"]
+                self.logger.info(
+                    "auto-resumed from %s (step %d, epoch %d)",
+                    self.ckpt._path("latest"), self.global_step, self.epoch)
+            except Exception as e:  # fresh/foreign checkpoint layout
+                self.logger.warning("auto-resume failed (%s); starting fresh",
+                                    e)
+
         # optional restore (cfg['restore'] section, train_util.py:82-118)
         restore = cfg.get("restore")
         if restore and restore.get("generator"):
@@ -81,6 +103,10 @@ class Trainer:
                     tx=tx, opt_state=tx.init(self.state.params))
                 self.state = replicate(self.mesh, self.state)
 
+    def _meta(self):
+        return {"global_step": self.global_step, "epoch": self.epoch,
+                "rng": jax.device_get(self.rng)}
+
     # --- steps -----------------------------------------------------------
     def _train_step_impl(self, state, batch, rng):
         def compute(params):
@@ -93,10 +119,16 @@ class Trainer:
             compute, has_aux=True)(state.params)
         metrics = {"loss": loss, **aux}
         if self.cfg.get("train", {}).get("grad_stats"):
-            # on-device gradient norms (cfg gate mirrors
-            # train_classification.py:208-225's grad histograms)
+            # on-device per-parameter gradient norms (the reference's
+            # grad_stats histograms/norms, train_classification.py:208-225)
             import optax
             metrics["grad_norm"] = optax.global_norm(grads)
+            flat = jax.tree_util.tree_leaves_with_path(grads)
+            for path, leaf in flat:
+                name = jax.tree_util.keystr(path).replace("'", "").strip(
+                    "[]").replace("][", ".")
+                metrics[f"grad_norm/{name}"] = jnp.sqrt(
+                    jnp.sum(leaf.astype(jnp.float32) ** 2))
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
         return state, metrics
@@ -125,7 +157,9 @@ class Trainer:
             eval_hook: Optional[Callable] = None,
             num_epochs: Optional[int] = None, max_steps: Optional[int] = None):
         """Run the reference's epoch loop: periodic logging/ckpt, validation
-        every ``val_step`` epochs, best-metric checkpoints."""
+        every ``val_step`` epochs, best-metric checkpoints (``best`` for the
+        primary metric, ``macc_best`` for m_acc — the reference's two gates,
+        train_classification.py:362-374)."""
         tcfg = self.cfg["train"]
         num_epochs = num_epochs or int(tcfg.get("num_epochs", 1))
         show_each = int(tcfg.get("show_each", 100))
@@ -133,34 +167,68 @@ class Trainer:
         save_each_epoch = int(tcfg.get("save_each_epoch", 1))
         val_step = int(tcfg.get("val_step", 1))
         save = bool(tcfg.get("save", True))
-        best = -np.inf
+        # profile_step: start a jax.profiler trace at that global step for
+        # profile_steps steps; trace lands in {exp}/profile (SURVEY §5)
+        profile_at = tcfg.get("profile_step")
+        profile_len = int(tcfg.get("profile_steps", 5))
+        profiling = False
+        keys = [tcfg.get("best_metric", "loss")]
+        keys += [k for k in tcfg.get("best_metrics", []) if k not in keys]
+        best = {k: -np.inf for k in keys}
 
         for epoch in range(self.epoch, num_epochs):
             self.epoch = epoch
             train_loader.set_epoch(epoch)
             t0 = time.time()
             window = []
+            data_t = step_t = 0.0
+            t_fetch = time.time()
             for batch in train_loader:
+                data_t += time.time() - t_fetch
+                if profile_at is not None and self.global_step == profile_at:
+                    jax.profiler.start_trace(
+                        f"{self.exp_dir}/profile")
+                    profiling = True
+                t_step = time.time()
                 metrics = self.train_step(batch)
                 window.append(metrics)
+                step_t += time.time() - t_step
+                if (profiling
+                        and self.global_step >= profile_at + profile_len):
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.logger.info("profiler trace written to %s/profile",
+                                     self.exp_dir)
                 if self.global_step % show_each == 0:
                     host = {k: float(np.mean([float(m[k]) for m in window]))
                             for k in window[0] if np.ndim(window[0][k]) == 0}
                     window = []
                     host["steps_per_sec"] = show_each / (time.time() - t0)
+                    # data/batch time split (reference logs these per step,
+                    # train_segmentation.py:173-210)
+                    host["data_time"] = data_t / show_each
+                    host["batch_time"] = step_t / show_each
+                    data_t = step_t = 0.0
                     t0 = time.time()
                     self.metrics.scalars(self.global_step, host,
                                          prefix="train/")
                     self.logger.info(
                         "epoch %d step %d: %s", epoch, self.global_step,
-                        {k: round(v, 4) for k, v in host.items()})
+                        {k: round(v, 4) for k, v in host.items()
+                         if "/" not in k})
                 if save and save_each and self.global_step % save_each == 0:
-                    self.ckpt.save(self.state, "latest")
+                    self.ckpt.save(self.state, "latest", meta=self._meta())
                 if max_steps and self.global_step >= max_steps:
+                    if save:
+                        self.ckpt.save(self.state, "latest",
+                                       meta=self._meta())
                     return self.state
+                t_fetch = time.time()
 
             if save and (epoch + 1) % save_each_epoch == 0:
-                self.ckpt.save(self.state, "latest")
+                self.ckpt.save(self.state, "latest", meta=self._meta())
 
             if val_loader is not None and (epoch + 1) % val_step == 0:
                 val_metrics = self.validate(val_loader, eval_hook)
@@ -170,17 +238,24 @@ class Trainer:
                                  {k: round(float(v), 4)
                                   for k, v in val_metrics.items()
                                   if np.ndim(v) == 0})
-                key = self.cfg["train"].get("best_metric", "loss")
-                score = -val_metrics.get(key, np.inf) \
-                    if key == "loss" else val_metrics.get(key, -np.inf)
-                if save and score > best:
-                    best = score
-                    self.ckpt.save(self.state, "best")
+                for key in keys:
+                    score = -val_metrics.get(key, np.inf) \
+                        if key == "loss" else val_metrics.get(key, -np.inf)
+                    if save and score > best[key]:
+                        best[key] = score
+                        tag = ("best" if key == keys[0]
+                               else f"{key.replace('m_acc', 'macc')}_best")
+                        self.ckpt.save(self.state, tag, meta=self._meta())
         return self.state
 
     def validate(self, val_loader, eval_hook=None):
         """Average eval metrics over the loader; ``eval_hook(batch, metrics)``
-        can accumulate task-specific statistics (confusion matrices, ...)."""
+        can accumulate task-specific statistics (confusion matrices, ...).
+        If the hook has ``compute()``, its results are merged into (and
+        override) the returned metrics — so m_acc / mIoU drive the best-
+        checkpoint gates."""
+        if eval_hook is not None and hasattr(eval_hook, "reset"):
+            eval_hook.reset()
         sums: Dict[str, float] = {}
         count = 0
         for batch in val_loader:
@@ -191,4 +266,7 @@ class Trainer:
                 if np.ndim(v) == 0:
                     sums[k] = sums.get(k, 0.0) + float(v)
             count += 1
-        return {k: v / max(count, 1) for k, v in sums.items()}
+        out = {k: v / max(count, 1) for k, v in sums.items()}
+        if eval_hook is not None and hasattr(eval_hook, "compute"):
+            out.update(eval_hook.compute())
+        return out

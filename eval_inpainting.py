@@ -22,11 +22,18 @@ def main():
     ap.add_argument("--ckpt", default=None,
                     help="checkpoint dir (default: cfg restore.generator)")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--emd", action="store_true",
+                    help="also compute protocol EMD (eps=0.004, 3000 iters; "
+                         "ref train_inpainter.py:267-269)")
+    ap.add_argument("--dump-dir", default=None,
+                    help="write per-batch pickles of (noise, partial, recon, "
+                         "gt, scores) — ref eval_inpainting.py:195")
     args = ap.parse_args()
 
     from cloud_transformers_tpu.core.noise import partial_postprocess
     from cloud_transformers_tpu.data import DataLoader, ShapeNetCompletion
     from cloud_transformers_tpu.losses import chamfer_distance, f_score_from_dists
+    from cloud_transformers_tpu.losses.emd import emd_auction
     from cloud_transformers_tpu.train.checkpoint import restore_params_only
     from cloud_transformers_tpu.train.config import load_config, model_from_config
     from cloud_transformers_tpu.train.optim import make_optimizer
@@ -68,7 +75,23 @@ def main():
         cd = (jnp.mean(d1, -1) + jnp.mean(d2, -1)) * 1000.0
         return f, cd
 
-    per_cat = defaultdict(lambda: {"f": [], "cd": []})
+    emd_eps = float(cfg["train"].get("val_emd_eps", 0.004))
+    emd_iters = int(cfg["train"].get("val_emd_iters", 3000))
+
+    @jax.jit
+    def metric_emd(pred, gt):
+        # protocol EMD on 2x-scaled clouds, sqrt-mean, as in the reference
+        # val loop (train_inpainter.py:267-272)
+        dist, _ = emd_auction(pred * 2.0, gt * 2.0, eps=emd_eps,
+                              iters=emd_iters)
+        return jnp.mean(jnp.sqrt(dist + 1e-12), axis=-1)
+
+    if args.dump_dir:
+        import os
+        import pickle
+        os.makedirs(args.dump_dir, exist_ok=True)
+
+    per_cat = defaultdict(lambda: {"f": [], "cd": [], "emd": []})
     rng = jax.random.PRNGKey(1)
     for i, batch in enumerate(loader):
         if args.limit and i >= args.limit:
@@ -82,15 +105,37 @@ def main():
         cat = int(batch["taxonomy"][0])
         per_cat[cat]["f"].append(float(f[0]))
         per_cat[cat]["cd"].append(float(cd[0]))
+        if args.emd:
+            per_cat[cat]["emd"].append(float(metric_emd(recon, gt)[0]))
+        if args.dump_dir:
+            with open(f"{args.dump_dir}/batch_{i:05d}.pkl", "wb") as fh:
+                pickle.dump({
+                    "noise": np.asarray(noise),
+                    "partial": np.asarray(batch["partial"]),
+                    "recon": np.asarray(recon),
+                    "gt": np.asarray(gt),
+                    "taxonomy": cat,
+                    "f_score": float(f[0]),
+                    "cd": float(cd[0]),
+                    "emd": (per_cat[cat]["emd"][-1] if args.emd else None),
+                }, fh)
 
-    print("Taxonomy\t#Sample\tF-Score\tChamferDistance")
-    all_f, all_cd = [], []
+    hdr = "Taxonomy\t#Sample\tF-Score\tChamferDistance"
+    print(hdr + ("\tEMD" if args.emd else ""))
+    all_f, all_cd, all_emd = [], [], []
     for cat, m in sorted(per_cat.items()):
-        print(f"{cat}\t{len(m['f'])}\t{np.mean(m['f']):.4f}"
-              f"\t{np.mean(m['cd']):.4f}")
+        row = (f"{cat}\t{len(m['f'])}\t{np.mean(m['f']):.4f}"
+               f"\t{np.mean(m['cd']):.4f}")
+        if args.emd:
+            row += f"\t{np.mean(m['emd']):.4f}"
+            all_emd += m["emd"]
+        print(row)
         all_f += m["f"]
         all_cd += m["cd"]
-    print(f"Overall\t\t{np.mean(all_f):.4f}\t{np.mean(all_cd):.4f}")
+    last = f"Overall\t\t{np.mean(all_f):.4f}\t{np.mean(all_cd):.4f}"
+    if args.emd:
+        last += f"\t{np.mean(all_emd):.4f}"
+    print(last)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,14 @@ def main():
     trainer = Trainer(model, cfg, args.exp_name, loss_fn,
                       sample_args=(jax.numpy.asarray(sample["pcd"]),),
                       config_path=args.config)
-    trainer.fit(train_loader, val_loader, max_steps=args.steps)
+    # exact pooled OA + mean per-class acc each validation; gates the
+    # 'best' (cls_acc) and 'macc_best' checkpoints (ref :347-374)
+    hook = classification.ClassEvalAccumulator(
+        int(cfg.get("model", {}).get("n_classes", 15)))
+    cfg["train"].setdefault("best_metric", "cls_acc")
+    cfg["train"].setdefault("best_metrics", ["m_acc"])
+    trainer.fit(train_loader, val_loader, eval_hook=hook,
+                max_steps=args.steps)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,7 @@ def main():
                       config_path=args.config)
 
     acc = segmentation.SegEvalAccumulator(n_classes)
+    cfg["train"].setdefault("best_metric", "miou")
     trainer.fit(train_loader, val_loader, eval_hook=acc,
                 max_steps=args.steps)
     if val_loader is not None:
