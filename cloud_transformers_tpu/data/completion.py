@@ -16,6 +16,8 @@ import os
 
 import numpy as np
 
+from cloud_transformers_tpu.data.loader import item_rng
+
 from cloud_transformers_tpu.data.pointcloud_io import read_pcd
 
 
@@ -68,6 +70,8 @@ class ShapeNetCompletion:
         self.n_input = n_input
         self.n_output = n_output
         self.n_renders = n_renders if split == "train" else 1
+        self.seed = seed
+        self._epoch = 0
         self._rng = np.random.RandomState(seed)
         self.partial_path = partial_path
         self.gt_path = gt_path
@@ -103,10 +107,13 @@ class ShapeNetCompletion:
             gt = read_pcd(gt_file)
         return partial.astype(np.float32), gt.astype(np.float32)
 
+    def set_epoch(self, epoch):
+        self._epoch = epoch
+
     def __getitem__(self, idx):
         tid, mid, render = self.file_list[idx]
         partial, gt = self._load(tid, mid, render)
-        rng = self._rng
+        rng = item_rng(self.seed, self._epoch, idx)
         partial = random_sample_points(partial, self.n_input, rng)
         gt = random_sample_points(gt, self.n_output, rng)
         if self.split == "train":

@@ -15,6 +15,8 @@ from pathlib import Path
 
 import numpy as np
 
+from cloud_transformers_tpu.data.loader import item_rng
+
 from cloud_transformers_tpu.data.pointcloud_io import read_ply
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -48,6 +50,8 @@ class ImageToPoint:
         self.split = split
         self.im_size = im_size
         self.points = points
+        self.seed = seed
+        self._epoch = 0
         self._rng = np.random.RandomState(seed)
         self.data_pairs = []
         self.class_names = []
@@ -85,13 +89,17 @@ class ImageToPoint:
         img = (img - IMAGENET_MEAN) / IMAGENET_STD
         return img.astype(np.float32), pcd.astype(np.float32)
 
+    def set_epoch(self, epoch):
+        self._epoch = epoch
+
     def __getitem__(self, index):
         img_path, pcd_path, cls_id = self.data_pairs[index]
         if img_path is None:
             img, pcd = self._synthetic(index)
         else:
             img = load_image(img_path, self.im_size)
-            pcd = resample_pcd(read_ply(pcd_path), self.points, self._rng)
+            pcd = resample_pcd(read_ply(pcd_path), self.points,
+                               item_rng(self.seed, self._epoch, index))
         return {"image": img.astype(np.float32),
                 "pcd": pcd.astype(np.float32),
                 "class_id": np.int32(cls_id)}

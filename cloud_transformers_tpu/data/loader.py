@@ -6,12 +6,27 @@ Replaces torch ``DataLoader`` + ``DistributedSampler``
 dicts, ready for ``parallel.shard_batch``.  Multi-host training shards the
 *index space* per process (the DistributedSampler equivalent) — each host
 loads only its slice and GSPMD sees a per-host batch shard.
+
+``num_workers > 1`` builds batches concurrently in a thread pool (numpy
+releases the GIL in the augmentation math, so threads overlap well and avoid
+the torch worker-process fork/pickle machinery).  Datasets whose
+``__getitem__`` uses a shared ``RandomState`` are not thread-safe — the
+in-tree datasets derive a per-item rng instead (see ``item_rng``).
 """
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+
+def item_rng(seed, epoch, index):
+    """Deterministic per-(epoch, item) RandomState — safe under concurrent
+    workers, reproducible across runs (the torch answer is per-worker
+    seeding; per-item is stronger)."""
+    return np.random.RandomState(
+        (seed * 1000003 + epoch * 7919 + index * 31 + 1) % (2 ** 31 - 1))
 
 
 class DataLoader:
@@ -26,12 +41,15 @@ class DataLoader:
         self.epoch = 0
         self.process_index = process_index
         self.process_count = process_count
+        self.num_workers = num_workers
         self.prefetch = max(2, num_workers)
 
     def set_epoch(self, epoch):
         """Reseed shuffling per epoch (DistributedSampler.set_epoch
         equivalent, train_classification.py:182)."""
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(self.dataset) // self.process_count
@@ -57,16 +75,33 @@ class DataLoader:
             out[k] = np.stack([it[k] for it in items])
         return out
 
+    def _build_batch(self, idx, b):
+        sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+        return self._collate([self.dataset[int(i)] for i in sel])
+
     def __iter__(self):
         idx = self._indices()
         nb = len(idx) // self.batch_size if self.drop_last else \
             -(-len(idx) // self.batch_size)
 
+        if self.num_workers > 1:
+            # concurrent batch builders with a bounded in-flight window
+            with ThreadPoolExecutor(self.num_workers) as ex:
+                window = self.num_workers + self.prefetch
+                futs = {b: ex.submit(self._build_batch, idx, b)
+                        for b in range(min(window, nb))}
+                for b in range(nb):
+                    batch = futs.pop(b).result()
+                    nxt = b + window
+                    if nxt < nb:
+                        futs[nxt] = ex.submit(self._build_batch, idx, nxt)
+                    yield batch
+            return
+
         def produce(q):
             try:
                 for b in range(nb):
-                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                    q.put(self._collate([self.dataset[int(i)] for i in sel]))
+                    q.put(self._build_batch(idx, b))
             finally:
                 q.put(None)
 

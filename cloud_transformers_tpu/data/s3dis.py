@@ -15,6 +15,8 @@ import pathlib
 
 import numpy as np
 
+from cloud_transformers_tpu.data.loader import item_rng
+
 CLASS_NAMES = ["ceiling", "floor", "wall", "beam", "column", "window", "door",
                "table", "chair", "sofa", "bookcase", "board", "clutter"]
 
@@ -90,6 +92,8 @@ class Indoor3DSemSeg:
         self.aug = aug and train
         self.aug_elastic = aug_elastic and self.aug
         self.aug_dropout = aug_dropout and self.aug
+        self.seed = seed
+        self._epoch = 0
         self._rng = np.random.RandomState(seed)
 
         if data_dir and os.path.exists(
@@ -122,8 +126,11 @@ class Indoor3DSemSeg:
     def __len__(self):
         return int(self.points.shape[0] * self.data_percent)
 
+    def set_epoch(self, epoch):
+        self._epoch = epoch
+
     def __getitem__(self, idx):
-        rng = self._rng
+        rng = item_rng(self.seed, self._epoch, idx)
         pt_idx = rng.permutation(self.points.shape[1])[: self.num_points]
         pts = self.points[idx, pt_idx, :6].copy()  # xyz + rgb
         lab = self.labels[idx, pt_idx].copy()

@@ -81,6 +81,7 @@ class S3DISSeg:
         self.split = split
         self.epoch = 0
         self.transforms = transforms
+        self.seed = seed
         self._rng = np.random.RandomState(seed)
 
         train_clouds = ["Area_1", "Area_2", "Area_3", "Area_4", "Area_6"]
@@ -186,11 +187,12 @@ class S3DISSeg:
         return self.num_steps
 
     def __getitem__(self, idx):
+        from cloud_transformers_tpu.data.loader import item_rng
         sched = idx + self.epoch * self.num_steps
         ci = self.cloud_inds[sched]
         pi = self.point_inds[sched]
         pick = self.sub_points[ci][pi][None] + self.noise[sched]
-        rng = self._rng
+        rng = item_rng(self.seed, self.epoch, idx)
         q = self.trees[ci].query_radius(pick, r=self.in_radius,
                                         return_distance=True,
                                         sort_results=True)[0][0]

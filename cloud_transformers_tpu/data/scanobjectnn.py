@@ -12,6 +12,8 @@ import os
 
 import numpy as np
 
+from cloud_transformers_tpu.data.loader import item_rng
+
 from cloud_transformers_tpu.data import augment
 
 
@@ -58,19 +60,26 @@ class ScanObjectNN:
                 [augment.normalize_unit_sphere(p) for p in self.data])
         self.train = train
         self.subsample = subsample
+        self.seed = seed
+        self._epoch = 0
         self._rng = np.random.RandomState(seed)
 
     def __len__(self):
         return self.data.shape[0]
 
+    def set_epoch(self, epoch):
+        self._epoch = epoch
+
     def __getitem__(self, item):
         pcd = self.data[item]
         mask = self.mask[item]
         if self.train:
-            pcd = augment.jitter(pcd, self._rng)
-            pcd = augment.rotate_y(pcd, self._rng)
+            rng = item_rng(self.seed, self._epoch, item)
+            pcd = augment.jitter(pcd, rng)
+            pcd = augment.rotate_y(pcd, rng)
         if self.subsample is not None:
-            idx = self._rng.choice(pcd.shape[0], size=self.subsample,
+            idx = item_rng(self.seed, self._epoch, item).choice(
+                pcd.shape[0], size=self.subsample,
                                    replace=False)
             pcd, mask = pcd[idx], mask[idx]
         return {"pcd": pcd.astype(np.float32),

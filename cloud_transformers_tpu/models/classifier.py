@@ -19,6 +19,7 @@ from cloud_transformers_tpu.nn.conv_blocks import (
 )
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.multihead import MultiHeadPool, MultiHeadUnion, _bn
+from cloud_transformers_tpu.nn.precision import MXUDense
 
 
 # one stage = 3 unions of (features_dims, heads, tensor_sizes, tensor_dims)
@@ -131,7 +132,7 @@ class ClassifierBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, pcd, train=True):
-        x = nn.Dense(self.model_dim, use_bias=False,
+        x = MXUDense(self.model_dim, use_bias=False,
                      kernel_init=torch_kernel_init(), name="stem")(pcd)
         x = nn.relu(_bn(train, name="stem_bn")(x))
 
@@ -184,13 +185,13 @@ class Classifier(nn.Module):
             model_dim=self.model_dim, scales=self.scales, remat=self.remat,
             name="backbone")(pcd, train=train)
 
-        cv = nn.Dense(1024, kernel_init=torch_kernel_init(),
+        cv = MXUDense(1024, kernel_init=torch_kernel_init(),
                       bias_init=torch_bias_init(2048),
                       name="class_vector")(pooled)
         class_vect = nn.relu(_bn(train, name="class_vector_bn")(cv))
 
         ch = nn.Dropout(0.5, deterministic=not train)(class_vect)
-        class_pred = nn.Dense(self.n_classes, kernel_init=torch_kernel_init(),
+        class_pred = MXUDense(self.n_classes, kernel_init=torch_kernel_init(),
                               bias_init=torch_bias_init(1024),
                               name="class_head")(ch)
 
@@ -201,12 +202,12 @@ class Classifier(nn.Module):
             [res, jnp.broadcast_to(class_vect[:, None, :],
                                    (res.shape[0], p, 1024))], axis=-1)
         mh = nn.Dropout(0.5, deterministic=not train)(mh)
-        mh = nn.Dense(256, use_bias=False, kernel_init=torch_kernel_init(),
+        mh = MXUDense(256, use_bias=False, kernel_init=torch_kernel_init(),
                       name="mask_conv1")(mh)
         mh = _bn(train, name="mask_bn")(mh)
         # ReLUDropoutInplace(0.5) == dropout(relu(x)) (classifier.py:20-32)
         mh = nn.Dropout(0.5, deterministic=not train)(nn.relu(mh))
-        mask_pred = nn.Dense(1, kernel_init=torch_kernel_init(),
+        mask_pred = MXUDense(1, kernel_init=torch_kernel_init(),
                              bias_init=torch_bias_init(256),
                              name="mask_conv2")(mh)
 

@@ -18,6 +18,7 @@ from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.multihead import _bn
 from cloud_transformers_tpu.nn.multihead_adain import MultiHeadUnionAdaIn
 from cloud_transformers_tpu.nn.norm import AdaIn1d
+from cloud_transformers_tpu.nn.precision import MXUDense
 
 
 class CompletionEncoder(nn.Module):
@@ -29,7 +30,7 @@ class CompletionEncoder(nn.Module):
     def __call__(self, pcd, train=True):
         _, pooled, stats = ClassifierBackbone(
             model_dim=self.model_dim, name="backbone")(pcd, train=train)
-        z = nn.Dense(1024, kernel_init=torch_kernel_init(),
+        z = MXUDense(1024, kernel_init=torch_kernel_init(),
                      bias_init=torch_bias_init(2048), name="class_head")(pooled)
         z = nn.relu(_bn(train, name="class_head_bn")(z))
         return z, stats
@@ -96,11 +97,11 @@ class Inpainter(nn.Module):
     def __call__(self, noise, partial, train=True):
         z, enc_stats = CompletionEncoder(model_dim=self.model_dim,
                                          name="encoder")(partial, train=train)
-        z = nn.relu(nn.Dense(self.num_latent, kernel_init=torch_kernel_init(),
+        z = nn.relu(MXUDense(self.num_latent, kernel_init=torch_kernel_init(),
                              bias_init=torch_bias_init(1024),
                              name="mapping")(z))
 
-        x = nn.Dense(self.model_dim, use_bias=False,
+        x = MXUDense(self.model_dim, use_bias=False,
                      kernel_init=torch_kernel_init(), name="start_conv")(noise)
         x = nn.relu(AdaIn1d(self.model_dim, name="start_adain")(x, z))
 
@@ -109,10 +110,10 @@ class Inpainter(nn.Module):
 
         # final head re-concats the noise channels (inpainter.py:157-162,182)
         x = jnp.concatenate([x, noise], axis=-1)
-        x = nn.Dense(self.model_dim, use_bias=False,
+        x = MXUDense(self.model_dim, use_bias=False,
                      kernel_init=torch_kernel_init(), name="final_conv1")(x)
         x = nn.relu(AdaIn1d(self.model_dim, name="final_adain")(x, z))
-        out = nn.Dense(3, kernel_init=torch_kernel_init(),
+        out = MXUDense(3, kernel_init=torch_kernel_init(),
                        bias_init=torch_bias_init(self.model_dim),
                        name="final_conv2")(x)
         return out, enc_stats + dec_stats

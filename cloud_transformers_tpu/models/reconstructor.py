@@ -12,6 +12,7 @@ from cloud_transformers_tpu.models.inpainter import AdaInDecoder
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.norm import AdaIn1d
 from cloud_transformers_tpu.nn.resnet import ResNet50Features
+from cloud_transformers_tpu.nn.precision import MXUDense
 
 
 @register("image_reconstructor")
@@ -24,21 +25,21 @@ class Reconstructor(nn.Module):
     @nn.compact
     def __call__(self, noise, image, train=True):
         z = ResNet50Features(name="res50")(image, train=train)
-        z = nn.relu(nn.Dense(self.num_latent, kernel_init=torch_kernel_init(),
+        z = nn.relu(MXUDense(self.num_latent, kernel_init=torch_kernel_init(),
                              bias_init=torch_bias_init(2048),
                              name="mapping")(z))
 
-        x = nn.Dense(self.model_dim, use_bias=False,
+        x = MXUDense(self.model_dim, use_bias=False,
                      kernel_init=torch_kernel_init(), name="start_conv")(noise)
         x = nn.relu(AdaIn1d(self.model_dim, name="start_adain")(x, z))
 
         x, stats = AdaInDecoder(model_dim=self.model_dim, name="decoder")(
             x, z, noise, train=train)
 
-        x = nn.Dense(self.model_dim, use_bias=False,
+        x = MXUDense(self.model_dim, use_bias=False,
                      kernel_init=torch_kernel_init(), name="final_conv1")(x)
         x = nn.relu(AdaIn1d(self.model_dim, name="final_adain")(x, z))
-        out = nn.Dense(3, kernel_init=torch_kernel_init(),
+        out = MXUDense(3, kernel_init=torch_kernel_init(),
                        bias_init=torch_bias_init(self.model_dim),
                        name="final_conv2")(x)
         return nn.sigmoid(out), stats

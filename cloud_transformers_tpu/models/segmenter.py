@@ -15,6 +15,7 @@ from cloud_transformers_tpu.models import register
 from cloud_transformers_tpu.models.classifier import MHCTTrunk
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.multihead import _bn
+from cloud_transformers_tpu.nn.precision import MXUDense
 
 
 class _SegmenterBase(nn.Module):
@@ -25,7 +26,7 @@ class _SegmenterBase(nn.Module):
 
     @nn.compact
     def _forward(self, pcd_features, xyz, pts_mask, train):
-        x = nn.Dense(self.model_dim, use_bias=True,
+        x = MXUDense(self.model_dim, use_bias=True,
                      kernel_init=torch_kernel_init(),
                      bias_init=torch_bias_init(self.in_channels),
                      name="stem")(pcd_features)
@@ -34,10 +35,10 @@ class _SegmenterBase(nn.Module):
         x, stats = MHCTTrunk(model_dim=self.model_dim, remat=self.remat,
                              name="trunk")(x, xyz, pts_mask, train)
 
-        x = nn.Dense(self.model_dim, use_bias=False,
+        x = MXUDense(self.model_dim, use_bias=False,
                      kernel_init=torch_kernel_init(), name="final_conv1")(x)
         x = nn.relu(_bn(train, name="final_bn")(x))
-        logits = nn.Dense(self.n_classes, kernel_init=torch_kernel_init(),
+        logits = MXUDense(self.n_classes, kernel_init=torch_kernel_init(),
                           bias_init=torch_bias_init(self.model_dim),
                           name="final_conv2")(x)
         return logits, stats

@@ -13,6 +13,7 @@ import jax
 import numpy as np
 
 from cloud_transformers_tpu.nn.init import torch_kernel_init
+from cloud_transformers_tpu.nn.precision import MXUConv
 
 
 class GroupedConvTranspose(nn.Module):
@@ -65,7 +66,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
-        x = nn.Conv(self.out_planes, kernel_size=(self.kernel_size,) * self.dim,
+        x = MXUConv(self.out_planes, kernel_size=(self.kernel_size,) * self.dim,
                     padding=(self.kernel_size - 1) // 2,
                     feature_group_count=self.groups, use_bias=False,
                     kernel_init=torch_kernel_init())(x)
@@ -82,11 +83,11 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
-        res = nn.Conv(self.out_planes, kernel_size=(3,) * self.dim, padding=1,
+        res = MXUConv(self.out_planes, kernel_size=(3,) * self.dim, padding=1,
                       feature_group_count=self.groups, use_bias=False,
                       kernel_init=torch_kernel_init())(x)
         res = nn.relu(_bn(train)(res))
-        res = nn.Conv(self.out_planes, kernel_size=(3,) * self.dim, padding=1,
+        res = MXUConv(self.out_planes, kernel_size=(3,) * self.dim, padding=1,
                       feature_group_count=self.groups, use_bias=False,
                       kernel_init=torch_kernel_init())(res)
         res = _bn(train)(res)
@@ -94,7 +95,7 @@ class ResBlock(nn.Module):
         if x.shape[-1] == self.out_planes:
             skip = x
         else:
-            skip = nn.Conv(self.out_planes, kernel_size=(1,) * self.dim,
+            skip = MXUConv(self.out_planes, kernel_size=(1,) * self.dim,
                            feature_group_count=self.groups, use_bias=False,
                            kernel_init=torch_kernel_init())(x)
             skip = _bn(train)(skip)
@@ -207,6 +208,6 @@ class V2VModel(nn.Module):
 
         for _ in range(3):
             x = ResBlock(32 * g, g, 3)(x, train)
-        return nn.Conv(self.output_channels * g, kernel_size=(1, 1, 1),
+        return MXUConv(self.output_channels * g, kernel_size=(1, 1, 1),
                        feature_group_count=g, use_bias=True,
                        kernel_init=torch_kernel_init())(x)

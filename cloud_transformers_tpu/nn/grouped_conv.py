@@ -14,12 +14,13 @@ exact.  Large per-group channels (trunk Res blocks, 32-64 ch/group) keep the
 native grouped path.
 """
 
-from typing import Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from cloud_transformers_tpu.nn import precision
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 
 # per-group input channels at or below this use the block-diagonal strategy
@@ -27,13 +28,17 @@ _BLOCK_DIAG_MAX_GROUP_CH = 16
 
 
 class GroupedConv(nn.Module):
-    """Drop-in grouped conv: ``[B, *spatial, C_in] -> [B, *spatial, features]``."""
+    """Drop-in grouped conv: ``[B, *spatial, C_in] -> [B, *spatial, features]``.
+
+    ``dtype``: optional MXU compute dtype (nn/precision.py policy); params
+    and output stay float32, accumulation is float32."""
 
     features: int
     kernel_size: Tuple[int, ...]
     groups: int = 1
     padding: Union[int, str] = 0
     use_bias: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -58,6 +63,11 @@ class GroupedConv(nn.Module):
         pad = ([(self.padding, self.padding)] * len(self.kernel_size)
                if isinstance(self.padding, int) else self.padding)
 
+        # policy-dtype operands, output cast back to f32 (an explicit
+        # preferred_element_type=f32 with bf16 operands breaks the conv VJP:
+        # the transpose conv would mix a f32 cotangent with a bf16 kernel;
+        # the TPU conv accumulates in f32 internally either way)
+        dt = precision.resolve(self.dtype)
         if ci <= _BLOCK_DIAG_MAX_GROUP_CH and g > 1:
             # expand grouped kernel [*k, ci, G*co] to block-diagonal dense
             # [*k, G*ci, G*co]; the identity einsum keeps grads exact
@@ -65,13 +75,16 @@ class GroupedConv(nn.Module):
             eye = jnp.eye(g, dtype=kernel.dtype)
             dense = jnp.einsum("...cgo,hg->...hcgo", k4, eye)
             dense = dense.reshape(kernel.shape[:-2] + (g * ci, g * co))
+            xq, kq = precision.cast_operands(dt, x, dense)
             out = jax.lax.conv_general_dilated(
-                x, dense, window_strides=(1,) * len(self.kernel_size),
+                xq, kq, window_strides=(1,) * len(self.kernel_size),
                 padding=pad, dimension_numbers=dn, feature_group_count=1)
         else:
+            xq, kq = precision.cast_operands(dt, x, kernel)
             out = jax.lax.conv_general_dilated(
-                x, kernel, window_strides=(1,) * len(self.kernel_size),
+                xq, kq, window_strides=(1,) * len(self.kernel_size),
                 padding=pad, dimension_numbers=dn, feature_group_count=g)
+        out = out.astype(jnp.float32)
         if bias is not None:
             out = out + bias
         return out

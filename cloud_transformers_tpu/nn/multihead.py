@@ -26,6 +26,7 @@ from cloud_transformers_tpu.core.splat_slice import (
 from cloud_transformers_tpu.nn.grouped_conv import GroupedConv
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.transforms import VolTransformer, PlaneTransformer
+from cloud_transformers_tpu.nn.precision import MXUDense
 
 TensorSize = Union[int, Tuple[int, ...]]
 
@@ -70,7 +71,7 @@ class GridKeysValues(nn.Module):
     def __call__(self, x, orig_pcd, train=True):
         h, f = self.heads, self.in_feature_dim
         b, p, _ = x.shape
-        kv = nn.Dense(h * (f + 3), use_bias=False,
+        kv = MXUDense(h * (f + 3), use_bias=False,
                       kernel_init=torch_kernel_init(), name="keys_values_pred")(x)
         keys_res = _bn(train, scale_init=nn.initializers.zeros,
                        name="key_bn")(kv[..., : h * 3])
@@ -156,7 +157,7 @@ class MultiHeadUnion(nn.Module):
                    else self.model_dim_out)
 
         if self.model_dim != out_dim:
-            residual = nn.Dense(out_dim, use_bias=False,
+            residual = MXUDense(out_dim, use_bias=False,
                                 kernel_init=torch_kernel_init(),
                                 name="shortcut_conv")(x)
             residual = _bn(train, name="shortcut_bn")(residual)
@@ -175,7 +176,7 @@ class MultiHeadUnion(nn.Module):
             stats.append(s)
 
         gathered = jnp.concatenate(results, axis=-1)
-        gathered = nn.Dense(out_dim, use_bias=False,
+        gathered = MXUDense(out_dim, use_bias=False,
                             kernel_init=torch_kernel_init(),
                             name="after_conv")(gathered)
         gathered = nn.relu(_bn(train, name="after_bn")(gathered))

@@ -30,6 +30,7 @@ from cloud_transformers_tpu.nn.multihead import (
 )
 from cloud_transformers_tpu.nn.norm import AdaIn1d
 from cloud_transformers_tpu.nn.transforms import VolTransformer, PlaneTransformer
+from cloud_transformers_tpu.nn.precision import MXUDense
 
 
 class MultiHeadAdaIn(nn.Module):
@@ -49,7 +50,7 @@ class MultiHeadAdaIn(nn.Module):
         g = int(np.prod(sizes))
         b, p, _ = x.shape
 
-        kv = nn.Dense(h * (f + 3), use_bias=False,
+        kv = MXUDense(h * (f + 3), use_bias=False,
                       kernel_init=torch_kernel_init(),
                       name="keys_values_pred")(x)
         keys_res = AdaIn1d(h * 3, name="keys_adain")(kv[..., : h * 3], z)
@@ -100,7 +101,7 @@ class MultiHeadUnionAdaIn(nn.Module):
                    else self.model_dim_out)
 
         if self.model_dim != out_dim:
-            residual = nn.Dense(out_dim, use_bias=False,
+            residual = MXUDense(out_dim, use_bias=False,
                                 kernel_init=torch_kernel_init(),
                                 name="shortcut_conv")(x)
             residual = AdaIn1d(out_dim, name="shortcut_adain")(residual, z)
@@ -119,7 +120,7 @@ class MultiHeadUnionAdaIn(nn.Module):
             stats.append(s)
 
         gathered = jnp.concatenate(results, axis=-1)
-        gathered = nn.Dense(out_dim, use_bias=False,
+        gathered = MXUDense(out_dim, use_bias=False,
                             kernel_init=torch_kernel_init(),
                             name="after_conv")(gathered)
         gathered = nn.relu(AdaIn1d(out_dim, name="after_adain")(gathered, z))

@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cloud_transformers_tpu.nn.init import torch_kernel_init
+from cloud_transformers_tpu.nn.precision import MXUConv
 
 
 def _bn(train, name=None, scale_init=nn.initializers.ones):
@@ -28,19 +29,19 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train=True):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False,
+        out = MXUConv(self.planes, (1, 1), use_bias=False,
                       kernel_init=torch_kernel_init())(x)
         out = nn.relu(_bn(train)(out))
-        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+        out = MXUConv(self.planes, (3, 3), strides=self.stride, padding=1,
                       use_bias=False, kernel_init=torch_kernel_init())(out)
         out = nn.relu(_bn(train)(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+        out = MXUConv(self.planes * 4, (1, 1), use_bias=False,
                       kernel_init=torch_kernel_init())(out)
         # zero-init the last BN scale (torchvision's zero_init_residual=False
         # default keeps ones; we keep ones for parity)
         out = _bn(train)(out)
         if self.downsample:
-            identity = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
+            identity = MXUConv(self.planes * 4, (1, 1), strides=self.stride,
                                use_bias=False,
                                kernel_init=torch_kernel_init())(x)
             identity = _bn(train)(identity)
@@ -54,7 +55,7 @@ class ResNet50(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+        x = MXUConv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     kernel_init=torch_kernel_init())(x)
         x = nn.relu(_bn(train)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from cloud_transformers_tpu.nn.conv_blocks import _bn, max_pool_nd
 from cloud_transformers_tpu.nn.init import torch_kernel_init
+from cloud_transformers_tpu.nn.precision import MXUConv, MXUDense
 
 
 def group_cat(x1, x2, groups):
@@ -40,7 +41,7 @@ class DoubleConv(nn.Module):
     @nn.compact
     def __call__(self, x, train=True):
         for _ in range(2):
-            x = nn.Conv(self.out_channels, (3, 3), padding=1,
+            x = MXUConv(self.out_channels, (3, 3), padding=1,
                         feature_group_count=self.groups,
                         kernel_init=torch_kernel_init())(x)
             x = nn.relu(_bn(train)(x))
@@ -99,7 +100,7 @@ class OutConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
-        x = nn.Conv(self.out_channels, (1, 1),
+        x = MXUConv(self.out_channels, (1, 1),
                     feature_group_count=self.groups,
                     kernel_init=torch_kernel_init())(x)
         return _bn(train)(x)
@@ -121,7 +122,7 @@ class UNet(nn.Module):
         x4 = Down(64 * g, g)(x3, train)
         x5 = Down(64 * g, g)(x4, train)
         pooled = jnp.mean(x5, axis=(1, 2))  # [B, 64g]
-        glob = nn.Dense(pooled.shape[-1],
+        glob = MXUDense(pooled.shape[-1],
                         kernel_init=torch_kernel_init())(pooled)
         x5 = nn.leaky_relu(x5 + glob[:, None, None, :], negative_slope=0.01)
         x = Up(64 * g, g, self.bilinear)(x5, x4, train)

@@ -391,21 +391,23 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref,
             else:
                 cur = grid_ref[0, rows, :]
                 gg = g_ref[0, rows, :]
-            contrib = jnp.concatenate(
-                [vcol * m_lo[j:j + 1, :], vcol * m_hi[j:j + 1, :]], axis=0)
-            winner = (contrib == cur) & (cur > 0.0)
-            dcon = jnp.where(winner, gg, 0.0)           # [2F, W]
+            # lo/hi halves kept separate — no per-point [2F, W] concat
+            cur_lo, cur_hi = cur[:f_pad], cur[f_pad:]
+            dcon_lo = jnp.where(
+                (vcol * m_lo[j:j + 1, :] == cur_lo) & (cur_lo > 0.0),
+                gg[:f_pad], 0.0)
+            dcon_hi = jnp.where(
+                (vcol * m_hi[j:j + 1, :] == cur_hi) & (cur_hi > 0.0),
+                gg[f_pad:], 0.0)
             # per-point rows of sum_f v[f]*dcon[f, :]; the per-vertex lane
             # extraction happens once per tile below (stacked over T points —
             # 8 per-point lane reductions collapse into 8 per-tile ones)
-            tlo_s[j:j + 1, :] = jnp.sum(vcol * dcon[:f_pad], axis=0,
-                                        keepdims=True)
-            thi_s[j:j + 1, :] = jnp.sum(vcol * dcon[f_pad:], axis=0,
-                                        keepdims=True)
+            tlo_s[j:j + 1, :] = jnp.sum(vcol * dcon_lo, axis=0, keepdims=True)
+            thi_s[j:j + 1, :] = jnp.sum(vcol * dcon_hi, axis=0, keepdims=True)
             # d_values: sum_s w_s * dcon at the vertex lanes
             dval_s[:, j:j + 1] = jnp.sum(
-                dcon[:f_pad] * m_lo[j:j + 1, :]
-                + dcon[f_pad:] * m_hi[j:j + 1, :], axis=1, keepdims=True)
+                dcon_lo * m_lo[j:j + 1, :] + dcon_hi * m_hi[j:j + 1, :],
+                axis=1, keepdims=True)
         # d_w per vertex: dw[j, jj] = sum_l tvec[j, l] * hit_jj[j, l]
         t_lo = tlo_s[:]
         t_hi = thi_s[:]

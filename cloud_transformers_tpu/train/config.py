@@ -22,12 +22,18 @@ def load_config(path):
 
 def model_from_config(cfg):
     """Build the model named in cfg['model'] with the remaining keys as
-    constructor kwargs (train_classification.py:93-102)."""
+    constructor kwargs (train_classification.py:93-102).
+
+    ``model.mxu_dtype: bfloat16`` turns on mixed precision for the matmul/
+    conv contractions (nn/precision.py) — params, BN stats, and the
+    splat/slice kernels stay float32."""
     from cloud_transformers_tpu.models import get_model
+    from cloud_transformers_tpu.nn.precision import set_default_mxu_dtype
 
     model_cfg = copy.deepcopy(cfg["model"])
     name = model_cfg.pop("generator", None) or model_cfg.pop("name")
     model_cfg.pop("name", None)
+    set_default_mxu_dtype(model_cfg.pop("mxu_dtype", None))
     return get_model(name, **model_cfg)
 
 

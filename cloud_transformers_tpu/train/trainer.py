@@ -155,7 +155,8 @@ class Trainer:
     # --- loop ------------------------------------------------------------
     def fit(self, train_loader, val_loader=None,
             eval_hook: Optional[Callable] = None,
-            num_epochs: Optional[int] = None, max_steps: Optional[int] = None):
+            num_epochs: Optional[int] = None, max_steps: Optional[int] = None,
+            epoch_hook: Optional[Callable] = None):
         """Run the reference's epoch loop: periodic logging/ckpt, validation
         every ``val_step`` epochs, best-metric checkpoints (``best`` for the
         primary metric, ``macc_best`` for m_acc — the reference's two gates,
@@ -246,6 +247,11 @@ class Trainer:
                         tag = ("best" if key == keys[0]
                                else f"{key.replace('m_acc', 'macc')}_best")
                         self.ckpt.save(self.state, tag, meta=self._meta())
+            if epoch_hook is not None and (epoch + 1) % val_step == 0:
+                hook_metrics = epoch_hook(epoch) or {}
+                if hook_metrics:
+                    self.metrics.scalars(self.global_step, hook_metrics,
+                                         prefix="val/")
         return self.state
 
     def validate(self, val_loader, eval_hook=None):

@@ -118,8 +118,12 @@ class TestDatasets:
     def test_scanobjectnn_augmented(self):
         ds = ScanObjectNN(None, train=True, num_points=64, synthetic_items=4)
         a = ds[0]["pcd"]
-        b = ds[0]["pcd"]
-        assert not np.allclose(a, b)  # train-time aug is random
+        # per-item rng: deterministic within an epoch (safe under concurrent
+        # loader workers), fresh draw each epoch
+        assert np.allclose(a, ds[0]["pcd"])
+        ds.set_epoch(1)
+        assert not np.allclose(a, ds[0]["pcd"])
+        assert not np.allclose(ds[0]["pcd"], ds[1]["pcd"])
 
     def test_s3dis_item(self):
         ds = Indoor3DSemSeg(None, num_points=128, train=True, aug=True,
@@ -178,3 +182,17 @@ class TestKPConvMetrics:
         labels = [np.array([0, 1, 2, 0, 0])]
         ious, miou = full_metrics(3, logits, proj, labels)
         np.testing.assert_allclose(miou, 1.0, atol=1e-5)
+
+
+def test_loader_workers_match_single_thread():
+    """num_workers>1 yields identical batches in identical order."""
+    ds = ScanObjectNN(None, train=True, num_points=32, synthetic_items=32)
+    l1 = DataLoader(ds, 8, shuffle=True, num_workers=0)
+    l4 = DataLoader(ds, 8, shuffle=True, num_workers=4)
+    l1.set_epoch(2)
+    l4.set_epoch(2)
+    b1, b4 = list(l1), list(l4)
+    assert len(b1) == len(b4) == 4
+    for a, b in zip(b1, b4):
+        np.testing.assert_allclose(a["pcd"], b["pcd"])
+        np.testing.assert_array_equal(a["label"], b["label"])

@@ -85,12 +85,24 @@ def main():
                                    jax.numpy.asarray(sample["mask"]),
                                    jax.numpy.asarray(sample["features"])),
                       config_path=args.config)
+    n_classes = cfg["model"].get("n_classes", 13)
+
+    def epoch_validate(epoch):
+        # per-epoch 2-vote validation, as the reference does every val_step
+        # epochs (train_segmentation_kpconv.py:254)
+        r = task.validate_votes(
+            trainer.eval_step, val_ds, val_loader, num_classes=n_classes,
+            num_votes=2, input_features_dim=common["input_features_dim"],
+            logger=trainer.logger)
+        return {k: v for k, v in r.items() if np.ndim(v) == 0}
+
     trainer.fit(EpochLoader(train_loader, train_ds), val_loader=None,
-                max_steps=args.steps)
+                max_steps=args.steps,
+                epoch_hook=None if args.steps else epoch_validate)
 
     results = task.validate_votes(
         trainer.eval_step, val_ds, val_loader,
-        num_classes=cfg["model"].get("n_classes", 13),
+        num_classes=n_classes,
         num_votes=args.num_votes,
         input_features_dim=common["input_features_dim"],
         logger=trainer.logger)
