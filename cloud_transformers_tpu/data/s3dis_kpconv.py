@@ -153,35 +153,64 @@ class S3DISSeg:
         return out
 
     def _build_schedule(self):
-        """Potential-based sphere schedule for ALL epochs
-        (s3dis_closer.py:235-283)."""
-        rng = self._rng
-        potentials = [rng.rand(p.shape[0]) * 1e-3 for p in self.sub_points]
-        min_pot = [float(p.min()) for p in potentials]
+        """Potential-based sphere schedule (s3dis_closer.py:235-283).
+
+        The reference precomputes the schedule for ALL epochs up front —
+        600 x 2000 serial KDTree radius queries at the full protocol.  The
+        sequence is inherently serial (each pick updates the potentials), so
+        instead it is generated LAZILY: ``set_epoch`` extends it through the
+        requested epoch and a daemon thread pre-builds the next epoch while
+        the current one trains."""
+        import threading
+        self._sched_rng = self._rng
+        self._potentials = [self._sched_rng.rand(p.shape[0]) * 1e-3
+                            for p in self.sub_points]
+        self._min_pot = [float(p.min()) for p in self._potentials]
         self.cloud_inds, self.point_inds, self.noise = [], [], []
-        r_sq = self.in_radius ** 2
-        for _ in range(self.num_epochs * self.num_steps):
-            ci = int(np.argmin(min_pot))
-            pi = int(np.argmin(potentials[ci]))
-            self.cloud_inds.append(ci)
-            self.point_inds.append(pi)
-            center = self.sub_points[ci][pi][None]
-            noise = rng.normal(scale=self.in_radius / 10, size=center.shape)
-            self.noise.append(noise.astype(np.float32))
-            pick = center + noise.astype(center.dtype)
-            q = self.trees[ci].query_radius(pick, r=self.in_radius,
-                                            return_distance=True,
-                                            sort_results=True)[0][0]
-            if self.num_points < q.shape[0]:
-                q = q[: self.num_points]
-            d = np.sum((self.sub_points[ci][q] - pick) ** 2, axis=1)
-            tukey = np.square(1 - d / r_sq)
-            tukey[d > r_sq] = 0
-            potentials[ci][q] += tukey
-            min_pot[ci] = float(potentials[ci].min())
+        self._sched_lock = threading.Lock()
+        self._prefetch_thread = None
+        self._extend_schedule(self.num_steps)  # epoch 0 ready immediately
+
+    def _extend_schedule(self, until):
+        """Generate schedule entries so len >= until (serial, under lock)."""
+        with self._sched_lock:
+            rng = self._sched_rng
+            r_sq = self.in_radius ** 2
+            while len(self.cloud_inds) < until:
+                ci = int(np.argmin(self._min_pot))
+                pi = int(np.argmin(self._potentials[ci]))
+                center = self.sub_points[ci][pi][None]
+                noise = rng.normal(scale=self.in_radius / 10,
+                                   size=center.shape)
+                pick = center + noise.astype(center.dtype)
+                q = self.trees[ci].query_radius(pick, r=self.in_radius,
+                                                return_distance=True,
+                                                sort_results=True)[0][0]
+                if self.num_points < q.shape[0]:
+                    q = q[: self.num_points]
+                d = np.sum((self.sub_points[ci][q] - pick) ** 2, axis=1)
+                tukey = np.square(1 - d / r_sq)
+                tukey[d > r_sq] = 0
+                self._potentials[ci][q] += tukey
+                self._min_pot[ci] = float(self._potentials[ci].min())
+                self.cloud_inds.append(ci)
+                self.point_inds.append(pi)
+                self.noise.append(noise.astype(np.float32))
 
     def set_epoch(self, epoch):
+        import threading
         self.epoch = epoch % self.num_epochs
+        need = (self.epoch + 1) * self.num_steps
+        self._extend_schedule(need)
+        # pre-build the next epoch in the background
+        if self.epoch + 1 < self.num_epochs:
+            if self._prefetch_thread is None or \
+                    not self._prefetch_thread.is_alive():
+                t = threading.Thread(
+                    target=self._extend_schedule,
+                    args=(need + self.num_steps,), daemon=True)
+                t.start()
+                self._prefetch_thread = t
 
     def __len__(self):
         return self.num_steps
@@ -189,6 +218,8 @@ class S3DISSeg:
     def __getitem__(self, idx):
         from cloud_transformers_tpu.data.loader import item_rng
         sched = idx + self.epoch * self.num_steps
+        if sched >= len(self.cloud_inds):
+            self._extend_schedule(sched + 1)
         ci = self.cloud_inds[sched]
         pi = self.point_inds[sched]
         pick = self.sub_points[ci][pi][None] + self.noise[sched]

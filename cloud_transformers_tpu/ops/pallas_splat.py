@@ -85,9 +85,65 @@ def _build_masks(lane_iota, rel, w_lo, w_hi, lane_offs):
     return m_lo, m_hi, hits
 
 
-def _splat_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref,
-                  values_ref, out_ref, *scratch, n_points, f_pad, lanes,
-                  lane_offs, op, tile, dual):
+# Above this many points per row, the per-point arrays are PACKED into one
+# VMEM buffer: tiles pad the last dim to 128 lanes, so four separate small
+# arrays cost the padding four times (>32 MB VMEM at K=16384).  Below it,
+# separate arrays win ~1-2 ms/call (the packed layout pays lane-extract
+# shuffles per tile).
+_PACK_MIN_K = 4096
+
+
+def _pack_payload(lane0, w_lo, w_hi, values=None):
+    """One VMEM payload [R, K, 9(+F)]: [lane0, w_lo(4), w_hi(4)(, values)]."""
+    parts = [lane0.astype(jnp.float32)[..., None], w_lo, w_hi]
+    if values is not None:
+        parts.append(values)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _point_args(lane0, w_lo, w_hi, values, packed):
+    """Point-data pallas operands for the chosen layout."""
+    if packed:
+        return (_pack_payload(lane0, w_lo, w_hi, values),)
+    if values is None:
+        return (lane0[..., None], w_lo, w_hi)
+    return (lane0[..., None], w_lo, w_hi, values)
+
+
+def _point_specs(k, f_pad, packed, with_values=True):
+    vm = lambda shape: pl.BlockSpec(shape, lambda bh: (bh, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    if packed:
+        return [vm((1, k, (9 + f_pad) if with_values else 9))]
+    specs = [vm((1, k, 1)), vm((1, k, 4)), vm((1, k, 4))]
+    if with_values:
+        specs.append(vm((1, k, f_pad)))
+    return specs
+
+
+def _load_point_tile(data_refs, packed, p0, T, f_pad=0):
+    """-> (lane [T,1] int32, w_lo [T,4], w_hi [T,4], vt [F,T] or None)."""
+    if packed:
+        pay = data_refs[0][0, pl.ds(p0, T), :]
+        lane_t = pay[:, 0:1].astype(jnp.int32)
+        w_lo = pay[:, 1:5]
+        w_hi = pay[:, 5:9]
+        vt = pay[:, 9:9 + f_pad].T if f_pad else None
+        return lane_t, w_lo, w_hi, vt
+    lane_t = data_refs[0][0, pl.ds(p0, T), :]
+    w_lo = data_refs[1][0, pl.ds(p0, T), :]
+    w_hi = data_refs[2][0, pl.ds(p0, T), :]
+    vt = data_refs[3][0, pl.ds(p0, T), :].T if f_pad else None
+    return lane_t, w_lo, w_hi, vt
+
+
+def _splat_kernel(x0_ref, lane0_ref, *refs,
+                  n_points, f_pad, lanes, lane_offs, op, tile, dual,
+                  packed):
+    n_data = 1 if packed else 4
+    data_refs = refs[:n_data]
+    out_ref = refs[n_data]
+    scratch = refs[n_data + 1:]
     out_ref[:] = jnp.zeros_like(out_ref)
     alt_ref = scratch[0] if dual else None
     if dual:
@@ -99,10 +155,8 @@ def _splat_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref,
 
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
-        vt = values_ref[0, pl.ds(p0, T), :].T          # [F_pad, T]
-        lane_t = lane0v_ref[0, pl.ds(p0, T), :]        # [T, 1] int32
-        wlo_t = wlo_ref[0, pl.ds(p0, T), :]            # [T, 4]
-        whi_t = whi_ref[0, pl.ds(p0, T), :]
+        lane_t, wlo_t, whi_t, vt = _load_point_tile(
+            data_refs, packed, p0, T, f_pad)
         if windowed:
             rel = lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
         else:
@@ -164,6 +218,7 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
     tile = _pick_tile(k, interpret)
     k, x0, lane0, w_lo, w_hi, values = _pad_points(
         tile, k, x0, lane0, w_lo, w_hi, values)
+    packed = k >= _PACK_MIN_K
 
     if len(sizes) == 2:
         lane_offs = (0, 1)
@@ -175,7 +230,7 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
     dual = grid_bytes <= _DUAL_LIMIT
     kernel = functools.partial(
         _splat_kernel, n_points=k, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, op=op, tile=tile, dual=dual)
+        lane_offs=lane_offs, op=op, tile=tile, dual=dual, packed=packed)
 
     out = pl.pallas_call(
         kernel,
@@ -185,15 +240,7 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, k, 1), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, 4), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, 4), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, f_pad), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + _point_specs(k, f_pad, packed),
         out_specs=pl.BlockSpec((1, x_dim * f_pad, lanes),
                                lambda bh: (bh, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -201,9 +248,11 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
                                        jnp.float32),
         scratch_shapes=([pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32)]
                         if dual else []),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0[:, None, :], lane0[:, None, :], lane0[..., None], w_lo, w_hi,
-      values)  # values [R, K, F_pad]
+    )(x0[:, None, :], lane0[:, None, :],
+      *_point_args(lane0, w_lo, w_hi, values, packed))
 
     # [R, X*F_pad, lanes] -> [R, G, F]
     out = out.reshape(r, x_dim, f_pad, lanes)[:, :, :feat, :lane_extent]
@@ -261,18 +310,20 @@ def vertex_decomposition(keys_scaled, sizes):
 # Slice kernel: the gather-transpose of the splat (same mask machinery)
 # ---------------------------------------------------------------------------
 
-def _slice_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref, grid_ref,
-                  out_ref, cols_ref, *, n_points, f_pad, lanes, lane_offs,
-                  tile):
+def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
+                  lane_offs, tile, packed):
+    n_data = 1 if packed else 3
+    data_refs = refs[:n_data]
+    grid_ref = refs[n_data]
+    out_ref = refs[n_data + 1]
+    cols_ref = refs[n_data + 2]
     window, windowed = _window_of(lanes, lane_offs)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
 
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
-        lane_t = lane0v_ref[0, pl.ds(p0, T), :]
-        wlo_t = wlo_ref[0, pl.ds(p0, T), :]
-        whi_t = whi_ref[0, pl.ds(p0, T), :]
+        lane_t, wlo_t, whi_t, _ = _load_point_tile(data_refs, packed, p0, T)
         rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
                if windowed else lane_t)
         m_lo, m_hi, _ = _build_masks(lane_iota, rel, wlo_t, whi_t, lane_offs)
@@ -311,6 +362,7 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
     tile = _pick_tile(k_orig, interpret)
     k_pad, x0, lane0, w_lo, w_hi = _pad_points(
         tile, k_orig, x0, lane0, w_lo, w_hi)
+    packed = k_pad >= _PACK_MIN_K
 
     # [R, G, F] -> kernel layout [R, X*F_pad, lanes]
     g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
@@ -326,7 +378,7 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
 
     kernel = functools.partial(
         _slice_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile)
+        lane_offs=lane_offs, tile=tile, packed=packed)
     out = pl.pallas_call(
         kernel,
         grid=(r,),
@@ -335,12 +387,7 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, k_pad, 1), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_pad, 4), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_pad, 4), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
+        ] + _point_specs(k_pad, f_pad, packed, with_values=False) + [
             pl.BlockSpec((1, x_dim * f_pad, lanes), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -348,8 +395,11 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, k_pad, f_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((f_pad, tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0[:, None, :], lane0[:, None, :], lane0[..., None], w_lo, w_hi, gk)
+    )(x0[:, None, :], lane0[:, None, :],
+      *_point_args(lane0, w_lo, w_hi, None, packed), gk)
     return out[:, :k_orig, :feat]
 
 
@@ -357,21 +407,20 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
 # Splat backward kernel: winner-routed cotangents + weight/value grads
 # ---------------------------------------------------------------------------
 
-def _splat_bwd_kernel(x0_ref, lane0_ref, lane0v_ref, wlo_ref, whi_ref,
-                      values_ref, grid_ref, g_ref,
-                      dwlo_ref, dwhi_ref, dval_ref,
-                      tlo_s, thi_s, dval_s,
-                      *, n_points, f_pad, lanes, lane_offs, tile):
+def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
+                      n_points, f_pad, lanes, lane_offs, tile, packed):
+    n_data = 1 if packed else 4
+    data_refs = refs[:n_data]
+    (grid_ref, g_ref, dwlo_ref, dwhi_ref, dval_ref,
+     tlo_s, thi_s, dval_s) = refs[n_data:]
     window, windowed = _window_of(lanes, lane_offs)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
 
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
-        vt = values_ref[0, pl.ds(p0, T), :].T          # [F_pad, T]
-        lane_t = lane0v_ref[0, pl.ds(p0, T), :]
-        wlo_t = wlo_ref[0, pl.ds(p0, T), :]
-        whi_t = whi_ref[0, pl.ds(p0, T), :]
+        lane_t, wlo_t, whi_t, vt = _load_point_tile(
+            data_refs, packed, p0, T, f_pad)
         rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
                if windowed else lane_t)
         m_lo, m_hi, hits = _build_masks(lane_iota, rel, wlo_t, whi_t,
@@ -441,6 +490,7 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
     tile = _pick_tile(k_orig, interpret)
     k_pad, x0, lane0, w_lo, w_hi, values = _pad_points(
         tile, k_orig, x0, lane0, w_lo, w_hi, values)
+    packed = k_pad >= _PACK_MIN_K
 
     def to_kernel_layout(a):
         a4 = a.reshape(r, x_dim, lane_extent, a.shape[-1])
@@ -460,7 +510,7 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
 
     kernel = functools.partial(
         _splat_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile)
+        lane_offs=lane_offs, tile=tile, packed=packed)
     spec_k = lambda shape: pl.BlockSpec(shape, lambda bh: (bh,) + (0,) * (
         len(shape) - 1), memory_space=pltpu.VMEM)
     dwlo, dwhi, dval = pl.pallas_call(
@@ -471,10 +521,7 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.SMEM),
-            spec_k((1, k_pad, 1)),
-            spec_k((1, k_pad, 4)),
-            spec_k((1, k_pad, 4)),
-            spec_k((1, k_pad, f_pad)),
+        ] + _point_specs(k_pad, f_pad, packed) + [
             spec_k((1, x_dim * f_pad, lanes)),
             spec_k((1, x_dim * f_pad, lanes)),
         ],
@@ -489,8 +536,8 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0[:, None, :], lane0[:, None, :], lane0[..., None], w_lo, w_hi,
-      values, grid_k, g_k)
+    )(x0[:, None, :], lane0[:, None, :],
+      *_point_args(lane0, w_lo, w_hi, values, packed), grid_k, g_k)
     return dwlo[:, :k_orig, :], dwhi[:, :k_orig, :], dval[:, :k_orig, :feat]
 
 
@@ -498,17 +545,18 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
 # Slice backward d_w kernel: dw[k, s] = sum_f grid[vertex_s, f] * g[k, f]
 # ---------------------------------------------------------------------------
 
-def _slice_dw_kernel(x0_ref, lane0_ref, lane0v_ref, g_pts_ref, grid_ref,
-                     dwlo_ref, dwhi_ref, ulo_s, uhi_s,
-                     *, n_points, f_pad, lanes, lane_offs, tile):
+def _slice_dw_kernel(x0_ref, lane0_ref, *refs,
+                     n_points, f_pad, lanes, lane_offs, tile, packed):
+    n_data = 1 if packed else 4
+    data_refs = refs[:n_data]
+    grid_ref, dwlo_ref, dwhi_ref, ulo_s, uhi_s = refs[n_data:]
     window, windowed = _window_of(lanes, lane_offs)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
 
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
-        gt = g_pts_ref[0, pl.ds(p0, T), :].T           # [F_pad, T]
-        lane_t = lane0v_ref[0, pl.ds(p0, T), :]
+        lane_t, _, _, gt = _load_point_tile(data_refs, packed, p0, T, f_pad)
         rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
                if windowed else lane_t)
         hits = [(lane_iota == (rel + off)).astype(jnp.float32)
@@ -562,6 +610,8 @@ def pallas_slice_dw(x0, lane0, g_pts, grid, sizes, feat, interpret=False):
                         ((0, 0), (0, 0), (0, f_pad - g_pts.shape[-1])))
     tile = _pick_tile(k_orig, interpret)
     k_pad, x0, lane0, g_pts = _pad_points(tile, k_orig, x0, lane0, g_pts)
+    packed = k_pad >= _PACK_MIN_K
+    zeros4 = jnp.zeros((r, k_pad, 4), g_pts.dtype)
 
     g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
     g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, lanes - lane_extent),
@@ -577,7 +627,7 @@ def pallas_slice_dw(x0, lane0, g_pts, grid, sizes, feat, interpret=False):
 
     kernel = functools.partial(
         _slice_dw_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile)
+        lane_offs=lane_offs, tile=tile, packed=packed)
     dwlo, dwhi = pl.pallas_call(
         kernel,
         grid=(r,),
@@ -586,10 +636,7 @@ def pallas_slice_dw(x0, lane0, g_pts, grid, sizes, feat, interpret=False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, k_pad, 1), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_pad, f_pad), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
+        ] + _point_specs(k_pad, f_pad, packed) + [
             pl.BlockSpec((1, x_dim * f_pad, lanes), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -604,5 +651,6 @@ def pallas_slice_dw(x0, lane0, g_pts, grid, sizes, feat, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0[:, None, :], lane0[:, None, :], lane0[..., None], g_pts, gk)
+    )(x0[:, None, :], lane0[:, None, :],
+      *_point_args(lane0, zeros4, zeros4, g_pts, packed), gk)
     return dwlo[:, :k_orig, :], dwhi[:, :k_orig, :]

@@ -152,7 +152,7 @@ class TestDatasets:
         ds = S3DISSeg(split="val", num_points=64, num_steps=4, num_epochs=2,
                       in_radius=1.0, subsampling_parameter=0.2,
                       synthetic_clouds=1)
-        assert len(ds.cloud_inds) == 8
+        assert len(ds.cloud_inds) == 4  # epoch 0 built eagerly, rest lazy
         item = ds[0]
         assert item["points"].shape == (64, 3)
         assert item["features"].shape == (64, 4)

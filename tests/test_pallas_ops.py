@@ -15,6 +15,7 @@ from cloud_transformers_tpu.core.grid_mapping import (
     vertex_weights,
 )
 from cloud_transformers_tpu.ops.segment import segment_reduce_dense
+import cloud_transformers_tpu.ops.pallas_splat as pallas_splat_mod
 from cloud_transformers_tpu.ops.pallas_splat import vertex_decomposition
 
 
@@ -154,3 +155,67 @@ class TestPortableImplToggle:
             ss.PORTABLE_IMPL = old
         np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+class TestPackedPointLayout:
+    """K >= _PACK_MIN_K switches to the single packed VMEM payload; force it
+    at tiny K and check all four kernels against the unpacked results."""
+
+    @pytest.fixture()
+    def forced_pack(self):
+        import cloud_transformers_tpu.ops.pallas_splat as ps
+        old = ps._PACK_MIN_K
+        ps._PACK_MIN_K = 1
+        yield
+        ps._PACK_MIN_K = old
+
+    def _data(self, sizes, feat, r=2, k=24):
+        rng = np.random.RandomState(3)
+        keys = jnp.asarray(
+            rng.uniform(0, 0.999999, (r, k, len(sizes))).astype(np.float32)
+        ) * (jnp.asarray(sizes, jnp.float32) - 1)
+        x0, lane0, w_lo, w_hi = pallas_splat_mod.vertex_decomposition(
+            keys, sizes)
+        values = jnp.asarray(rng.randn(r, k, feat).astype(np.float32))
+        return x0, lane0, w_lo, w_hi, values
+
+    def test_packed_matches_unpacked(self, forced_pack):
+        import cloud_transformers_tpu.ops.pallas_splat as ps
+        sizes, feat = (8, 8, 8), 8
+        x0, lane0, w_lo, w_hi, values = self._data(sizes, feat)
+        packed_grid = ps.pallas_splat(x0, lane0, w_lo, w_hi, values, sizes,
+                                      feat, interpret=True)
+        ps._PACK_MIN_K = 10 ** 9
+        ref_grid = ps.pallas_splat(x0, lane0, w_lo, w_hi, values, sizes,
+                                   feat, interpret=True)
+        ps._PACK_MIN_K = 1
+        np.testing.assert_allclose(np.asarray(packed_grid),
+                                   np.asarray(ref_grid), atol=1e-6)
+
+        sliced = ps.pallas_slice(x0, lane0, w_lo, w_hi, ref_grid, sizes,
+                                 feat, interpret=True)
+        ps._PACK_MIN_K = 10 ** 9
+        sliced_ref = ps.pallas_slice(x0, lane0, w_lo, w_hi, ref_grid, sizes,
+                                     feat, interpret=True)
+        ps._PACK_MIN_K = 1
+        np.testing.assert_allclose(np.asarray(sliced),
+                                   np.asarray(sliced_ref), atol=1e-6)
+
+        g = jnp.asarray(np.random.RandomState(5).randn(
+            *ref_grid.shape).astype(np.float32))
+        bwd = ps.pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, ref_grid,
+                                  g, sizes, feat, interpret=True)
+        g_pts = jnp.asarray(np.random.RandomState(6).randn(
+            x0.shape[0], x0.shape[1], feat).astype(np.float32))
+        dw = ps.pallas_slice_dw(x0, lane0, g_pts, ref_grid, sizes, feat,
+                                interpret=True)
+        ps._PACK_MIN_K = 10 ** 9
+        bwd_ref = ps.pallas_splat_bwd(x0, lane0, w_lo, w_hi, values,
+                                      ref_grid, g, sizes, feat,
+                                      interpret=True)
+        dw_ref = ps.pallas_slice_dw(x0, lane0, g_pts, ref_grid, sizes, feat,
+                                    interpret=True)
+        ps._PACK_MIN_K = 1
+        for a, b in list(zip(bwd, bwd_ref)) + list(zip(dw, dw_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
