@@ -17,6 +17,12 @@ import time
 
 import numpy as np
 
+# the t128 Pallas kernels compile slowly (~1-3 min for the classifier); a
+# persistent compilation cache makes repeat bench runs start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
 
 def measure(fn, *args, iters=20, warmup=3):
     """Time fn. Completion is forced by a host readback of a dependent
