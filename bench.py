@@ -17,11 +17,10 @@ import time
 
 import numpy as np
 
-# the t128 Pallas kernels compile slowly (~1-3 min for the classifier); a
-# persistent compilation cache makes repeat bench runs start in seconds
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+# NOTE: jax's persistent compilation cache was tried here and REVERTED — on
+# this tunneled runtime a trivial jit hangs with the cache enabled (and
+# cached AOT executables can hit libtpu version mismatches across driver
+# restarts, the exact failure mode of the round-1 multichip dryrun).
 
 
 def measure(fn, *args, iters=20, warmup=3):
