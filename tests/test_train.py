@@ -132,3 +132,39 @@ class TestTrainLoop:
             upd, state = tx.update(g, state, p)
             deltas.append(float(jnp.abs(upd["w"][0])))
         assert deltas[0] > deltas[3]
+
+
+class TestAutoResume:
+    def test_killed_run_resumes_step_epoch_rng(self, tmp_path):
+        """A new Trainer on the same exp dir continues from ckpt_latest with
+        step/epoch/rng and optimizer state (ref restore_exp semantics)."""
+        ds = ScanObjectNN(None, train=False, num_points=64,
+                          synthetic_items=16)
+        loader = DataLoader(ds, 8)
+        cfg = tiny_cfg(tmp_path)
+        model = TinyClassifier()
+        loss_fn = classification.make_loss_fn(0.5)
+        sample = next(iter(loader))
+        t1 = Trainer(model, cfg, "resume_t", loss_fn,
+                     sample_args=(jnp.asarray(sample["pcd"]),))
+        for batch in loader:
+            t1.train_step(batch)
+        t1.epoch = 3
+        t1.ckpt.save(t1.state, "latest", meta=t1._meta())
+        step, rng = t1.global_step, np.asarray(t1.rng)
+
+        t2 = Trainer(TinyClassifier(), cfg, "resume_t", loss_fn,
+                     sample_args=(jnp.asarray(sample["pcd"]),))
+        assert t2.global_step == step
+        assert t2.epoch == 3
+        np.testing.assert_array_equal(np.asarray(t2.rng), rng)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b)),
+            jax.device_get(t1.state.params), jax.device_get(t2.state.params))
+        # optimizer state (adam moments) resumed too
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b)),
+            jax.device_get(t1.state.opt_state),
+            jax.device_get(t2.state.opt_state))
