@@ -218,8 +218,10 @@ class S3DISSeg:
     def __getitem__(self, idx):
         from cloud_transformers_tpu.data.loader import item_rng
         sched = idx + self.epoch * self.num_steps
-        if sched >= len(self.cloud_inds):
-            self._extend_schedule(sched + 1)
+        # always go through the lock: the daemon prefetch thread appends to
+        # the three schedule lists, so an unlocked length check could pass
+        # on a torn entry
+        self._extend_schedule(sched + 1)
         ci = self.cloud_inds[sched]
         pi = self.point_inds[sched]
         pick = self.sub_points[ci][pi][None] + self.noise[sched]

@@ -73,14 +73,16 @@ class ScanObjectNN:
     def __getitem__(self, item):
         pcd = self.data[item]
         mask = self.mask[item]
+        # one advancing per-(epoch, item) stream for all draws — a second
+        # RandomState with the same key would couple the subsample indices
+        # to the jitter noise
+        rng = item_rng(self.seed, self._epoch, item)
         if self.train:
-            rng = item_rng(self.seed, self._epoch, item)
             pcd = augment.jitter(pcd, rng)
             pcd = augment.rotate_y(pcd, rng)
         if self.subsample is not None:
-            idx = item_rng(self.seed, self._epoch, item).choice(
-                pcd.shape[0], size=self.subsample,
-                                   replace=False)
+            idx = rng.choice(pcd.shape[0], size=self.subsample,
+                             replace=False)
             pcd, mask = pcd[idx], mask[idx]
         return {"pcd": pcd.astype(np.float32),
                 "label": self.label[item],

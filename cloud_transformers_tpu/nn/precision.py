@@ -82,8 +82,9 @@ class MXUConv(nn.Conv):
 
     @nn.compact
     def __call__(self, x):
-        dt = resolve(None)
-        if dt is None:
+        dt = resolve(self.dtype)
+        if dt is None or dt == jnp.float32:
+            object.__setattr__(self, "dtype", None)
             return super().__call__(x)
         object.__setattr__(self, "dtype", dt)
         return super().__call__(x.astype(dt)).astype(jnp.float32)

@@ -49,7 +49,12 @@ _DUAL_LIMIT = 2 * 1024 * 1024
 def _pick_tile(k, interpret):
     if interpret:
         return 8
-    return min(128, -(-k // 8) * 8)
+    # largest tile whose zero-padding waste stays small relative to k
+    # (a flat 128 would pad K=129 to 256 — ~2x wasted kernel work)
+    for t in (128, 64, 32, 16, 8):
+        if -(-k // t) * t - k <= max(k // 8, 8):
+            return t
+    return 8
 
 
 def _pad_points(tile, k, *arrays):

@@ -42,11 +42,13 @@ def make_datasets(cfg, synthetic=False):
                   points=d.get("gt_size", 8192))
     train_ds = ImageToPoint(path, split="train", **common)
     val_ds = ImageToPoint(path, split="val", seed=1, **common)
+    workers = int(d.get("num_workers", 0))
     train_loader = DataLoader(train_ds, d["batch_size"], shuffle=True,
+                              num_workers=workers,
                               process_index=jax.process_index(),
                               process_count=jax.process_count())
     val_loader = DataLoader(val_ds, d.get("batch_size_val", d["batch_size"]),
-                            shuffle=False,
+                            shuffle=False, num_workers=workers,
                             process_index=jax.process_index(),
                             process_count=jax.process_count())
     return train_loader, val_loader

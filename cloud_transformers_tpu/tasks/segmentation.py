@@ -50,11 +50,13 @@ def make_datasets(cfg, synthetic=False):
                               aug_dropout=d.get("aug_dropout", False),
                               **kwargs)
     val_ds = Indoor3DSemSeg(path, train=False, aug=False, **kwargs)
+    workers = int(d.get("num_workers", 0))
     train_loader = DataLoader(train_ds, d["batch_size"], shuffle=True,
+                              num_workers=workers,
                               process_index=jax.process_index(),
                               process_count=jax.process_count())
     val_loader = DataLoader(val_ds, d.get("batch_size_val", d["batch_size"]),
-                            shuffle=False,
+                            shuffle=False, num_workers=workers,
                             process_index=jax.process_index(),
                             process_count=jax.process_count())
     return train_loader, val_loader

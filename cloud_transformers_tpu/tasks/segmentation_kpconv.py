@@ -134,6 +134,10 @@ def validate_votes(eval_step, dataset: S3DISSeg, loader, num_classes,
                 for l in dataset.sub_labels]
     vote_cnt = [np.zeros((1, l.shape[0]), np.float32) + 1e-6
                 for l in dataset.sub_labels]
+    # EMA-smoothed logits, reported as the reference's 'running sub_mIoU'
+    # (s3dis_closer_train.py:142-143,161-164)
+    running = [np.zeros((num_classes, l.shape[0]), np.float32)
+               for l in dataset.sub_labels]
     val_proportions = np.array(
         [np.sum([np.sum(lbl == c) for lbl in dataset.clouds_labels])
          for c in range(num_classes)], np.float32)
@@ -159,6 +163,8 @@ def validate_votes(eval_step, dataset: S3DISSeg, loader, num_classes,
                 ci = int(batch["cloud_index"][ib])
                 vote_sum[ci][:, inds] += lg
                 vote_cnt[ci][:, inds] += 1
+                running[ci][:, inds] = (test_smooth * running[ci][:, inds]
+                                        + (1 - test_smooth) * lg)
                 predictions.append(lg.T)
                 targets.append(dataset.sub_labels[ci][inds])
         vote_logits = [s / c for s, c in zip(vote_sum, vote_cnt)]
@@ -166,9 +172,12 @@ def validate_votes(eval_step, dataset: S3DISSeg, loader, num_classes,
                                 val_proportions)
         _, submiou = sub_metrics(num_classes, vote_logits,
                                  dataset.sub_labels, val_proportions)
+        _, run_submiou = sub_metrics(num_classes, running,
+                                     dataset.sub_labels, val_proportions)
         ious, miou = full_metrics(num_classes, vote_logits,
                                   dataset.projections, dataset.clouds_labels)
-        results = {"part_miou": pmiou, "sub_miou": submiou, "miou": miou,
+        results = {"part_miou": pmiou, "sub_miou": submiou,
+                   "running_sub_miou": run_submiou, "miou": miou,
                    "ious": ious}
         if logger:
             logger.info("vote %d: part %.4f sub %.4f full %.4f",

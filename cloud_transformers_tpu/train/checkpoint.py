@@ -61,12 +61,20 @@ class CheckpointManager:
 def restore_params_only(ckpt_path: str, state):
     """Restore model params/batch-stats but keep fresh optimizer state — the
     equivalent of the reference's model-only ``restore_exp``
-    (utils/train_util.py:82-96)."""
-    mgr = CheckpointManager(os.path.dirname(ckpt_path))
-    tag = os.path.basename(ckpt_path).replace("ckpt_", "")
-    restored = mgr.restore(state, tag=tag)
-    return state.replace(params=restored.params,
-                         batch_stats=restored.batch_stats)
+    (utils/train_util.py:82-96).
+
+    Layout-agnostic: reads the checkpoint WITHOUT a target tree and digs the
+    params/batch_stats out of whatever was saved — a trainer checkpoint
+    ({'state': TrainState, 'meta': ...}), a ``save_params_only`` tree, or a
+    converter output — so eval/finetune works on any of them."""
+    raw = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
+    tree = raw.get("state", raw) if isinstance(raw, dict) else raw
+    if not isinstance(tree, dict) or "params" not in tree:
+        raise ValueError(
+            f"checkpoint at {ckpt_path} has no 'params' "
+            f"(top-level keys: {list(raw) if isinstance(raw, dict) else raw})")
+    return state.replace(params=tree["params"],
+                         batch_stats=tree.get("batch_stats", {}))
 
 
 def save_params_only(params, batch_stats, path: str):

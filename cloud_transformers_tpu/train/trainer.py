@@ -14,6 +14,7 @@ Task scripts provide a ``loss_fn(apply_fn, variables, batch, rng, train) ->
 (loss, aux_metrics, new_batch_stats)`` and optionally an eval step.
 """
 
+import os
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -82,9 +83,20 @@ class Trainer:
                 self.logger.info(
                     "auto-resumed from %s (step %d, epoch %d)",
                     self.ckpt._path("latest"), self.global_step, self.epoch)
-            except Exception as e:  # fresh/foreign checkpoint layout
-                self.logger.warning("auto-resume failed (%s); starting fresh",
-                                    e)
+            except Exception as e:
+                # a torn/foreign ckpt_latest must not be silently replaced:
+                # move it aside so the evidence survives and later 'latest'
+                # saves don't bury it, then start fresh — loudly
+                quarantine = self.ckpt._path(
+                    f"latest_unreadable_{int(time.time())}")
+                try:
+                    os.rename(self.ckpt._path("latest"), quarantine)
+                except OSError:
+                    quarantine = "<rename failed>"
+                self.logger.error(
+                    "AUTO-RESUME FAILED: ckpt_latest could not be restored "
+                    "(%s). It was moved to %s; training restarts from "
+                    "scratch.", e, quarantine)
 
         # optional restore (cfg['restore'] section, train_util.py:82-118)
         restore = cfg.get("restore")
@@ -222,6 +234,9 @@ class Trainer:
                 if save and save_each and self.global_step % save_each == 0:
                     self.ckpt.save(self.state, "latest", meta=self._meta())
                 if max_steps and self.global_step >= max_steps:
+                    if profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
                     if save:
                         self.ckpt.save(self.state, "latest",
                                        meta=self._meta())
@@ -252,6 +267,8 @@ class Trainer:
                 if hook_metrics:
                     self.metrics.scalars(self.global_step, hook_metrics,
                                          prefix="val/")
+        if profiling:
+            jax.profiler.stop_trace()
         return self.state
 
     def validate(self, val_loader, eval_hook=None):

@@ -168,3 +168,42 @@ class TestAutoResume:
                 np.asarray(a), np.asarray(b)),
             jax.device_get(t1.state.opt_state),
             jax.device_get(t2.state.opt_state))
+
+
+class TestRestoreParamsOnly:
+    def test_restores_from_all_checkpoint_layouts(self, tmp_path):
+        """restore_params_only must read trainer checkpoints (state+meta),
+        save_params_only output, and be loud on garbage."""
+        from cloud_transformers_tpu.train.checkpoint import (
+            restore_params_only, save_params_only)
+        ds = ScanObjectNN(None, train=False, num_points=64,
+                          synthetic_items=16)
+        loader = DataLoader(ds, 8)
+        cfg = tiny_cfg(tmp_path)
+        model = TinyClassifier()
+        loss_fn = classification.make_loss_fn(0.5)
+        sample = next(iter(loader))
+        tr = Trainer(model, cfg, "rpo", loss_fn,
+                     sample_args=(jnp.asarray(sample["pcd"]),))
+        tr.train_step(next(iter(loader)))
+
+        # layout 1: trainer save with meta
+        p1 = tr.ckpt.save(tr.state, "best", meta=tr._meta())
+        fresh = Trainer(TinyClassifier(), tiny_cfg(tmp_path), "rpo2",
+                        loss_fn,
+                        sample_args=(jnp.asarray(sample["pcd"]),))
+        got = restore_params_only(p1, jax.device_get(fresh.state))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                    np.asarray(b)),
+            jax.device_get(tr.state.params), got.params)
+
+        # layout 2: bare params/batch_stats (converter output path)
+        p2 = str(tmp_path / "bare_ckpt")
+        save_params_only(jax.device_get(tr.state.params),
+                         jax.device_get(tr.state.batch_stats), p2)
+        got2 = restore_params_only(p2, jax.device_get(fresh.state))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                    np.asarray(b)),
+            jax.device_get(tr.state.params), got2.params)

@@ -55,11 +55,13 @@ def main():
     train_ds = S3DISSeg(split="train", color_drop=d.get("color_drop", 0.2),
                         transforms=train_transform, **common)
     val_ds = S3DISSeg(split="val", **common)
+    workers = int(d.get("num_workers", 0))
     train_loader = DataLoader(train_ds, d["batch_size"], shuffle=False,
+                              num_workers=workers,
                               process_index=jax.process_index(),
                               process_count=jax.process_count())
     val_loader = DataLoader(val_ds, d.get("batch_size_val", d["batch_size"]),
-                            shuffle=False,
+                            shuffle=False, num_workers=workers,
                             process_index=jax.process_index(),
                             process_count=jax.process_count())
 
@@ -69,7 +71,7 @@ def main():
             self.loader, self.ds = loader, ds
 
         def set_epoch(self, epoch):
-            self.ds.set_epoch(epoch)
+            # DataLoader.set_epoch forwards to the dataset already
             self.loader.set_epoch(epoch)
 
         def __iter__(self):
