@@ -305,29 +305,34 @@ def _slice_dw_portable(sizes, x0, lane0, w_lo, w_hi, grid, g):
 
 
 def _slice_m_bwd(sizes, res, g):
-    from cloud_transformers_tpu.ops.pallas_splat import pallas_slice_dw
+    from cloud_transformers_tpu.ops.pallas_splat import pallas_slice_bwd
     x0, lane0, w_lo, w_hi, grid = res
-    # transpose of the weighted gather = vertex scatter-ADD of cotangents
-    d_grid = _scatter_generic(x0, lane0, w_lo, w_hi, g, sizes, "add")
     feat = grid.shape[-1]
-    if PORTABLE_IMPL == "interpret":
-        def portable(x0, lane0, g, grid):
-            return pallas_slice_dw(x0, lane0, g, grid, sizes, feat,
-                                   interpret=True)
-    else:
-        def portable(x0, lane0, g, grid):
-            return _slice_dw_portable(sizes, x0, lane0, w_lo, w_hi, grid, g)
     if FORCE_XLA_PATH:
+        # portable pair: scatter-add of cotangents + row-gather d_w
+        d_grid = _scatter_generic(x0, lane0, w_lo, w_hi, g, sizes, "add")
         d_wlo, d_whi = _slice_dw_portable(sizes, x0, lane0, w_lo, w_hi,
                                           grid, g)
+        return (None, None, d_wlo, d_whi, d_grid)
+
+    if PORTABLE_IMPL == "interpret":
+        def portable(*a):
+            return pallas_slice_bwd(*a, sizes, feat, interpret=True)
     else:
-        # the XLA row-gather formulation costs ~33 ms at production shape on
-        # TPU; the kernel reuses the splat windowing
-        d_wlo, d_whi = jax.lax.platform_dependent(
-            x0, lane0, g, grid,
-            tpu=lambda *a: pallas_slice_dw(*a, sizes, feat),
-            default=portable,
-        )
+        def portable(x0, lane0, w_lo, w_hi, g, grid):
+            d_grid = _scatter_generic(x0, lane0, w_lo, w_hi, g, sizes,
+                                      "add")
+            d_wlo, d_whi = _slice_dw_portable(sizes, x0, lane0, w_lo, w_hi,
+                                              grid, g)
+            return d_grid, d_wlo, d_whi
+
+    # one fused pass computes the cotangent scatter-add AND the per-vertex
+    # d_w dots (two kernels re-reading the same points/grid before)
+    d_grid, d_wlo, d_whi = jax.lax.platform_dependent(
+        x0, lane0, w_lo, w_hi, g, grid,
+        tpu=lambda *a: pallas_slice_bwd(*a, sizes, feat),
+        default=portable,
+    )
     return (None, None, d_wlo, d_whi, d_grid)
 
 

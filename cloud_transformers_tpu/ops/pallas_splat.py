@@ -659,3 +659,148 @@ def pallas_slice_dw(x0, lane0, g_pts, grid, sizes, feat, interpret=False):
     )(x0[:, None, :], lane0[:, None, :],
       *_point_args(lane0, zeros4, zeros4, g_pts, packed), gk)
     return dwlo[:, :k_orig, :], dwhi[:, :k_orig, :]
+
+
+# ---------------------------------------------------------------------------
+# Fused slice backward: d_grid (scatter-add of cotangents) + d_w in one pass
+# ---------------------------------------------------------------------------
+
+def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
+                      lane_offs, tile, dual, packed):
+    n_data = 1 if packed else 4
+    data_refs = refs[:n_data]
+    grid_ref = refs[n_data]
+    dgrid_ref, dwlo_ref, dwhi_ref = refs[n_data + 1:n_data + 4]
+    scratch = refs[n_data + 4:]
+    ulo_s, uhi_s = scratch[:2]
+    alt_ref = scratch[2] if dual else None
+    dgrid_ref[:] = jnp.zeros_like(dgrid_ref)
+    if dual:
+        alt_ref[:] = jnp.zeros_like(alt_ref)
+    window, windowed = _window_of(lanes, lane_offs)
+    T = tile
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
+
+    def tile_body(t, _):
+        p0 = pl.multiple_of(t * T, T)
+        lane_t, wlo_t, whi_t, gt = _load_point_tile(
+            data_refs, packed, p0, T, f_pad)          # gt = cotangents [F, T]
+        rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
+               if windowed else lane_t)
+        m_lo, m_hi, hits = _build_masks(lane_iota, rel, wlo_t, whi_t,
+                                        lane_offs)
+
+        for j in range(T):
+            i = t * T + j
+            x0 = x0_ref[0, 0, i]
+            gcol = gt[:, j:j + 1]                     # [F_pad, 1]
+            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
+            upd = jnp.concatenate(
+                [gcol * m_lo[j:j + 1, :], gcol * m_hi[j:j + 1, :]], axis=0)
+            tgt = alt_ref if (dual and (j & 1)) else dgrid_ref
+            if windowed:
+                lane0 = lane0_ref[0, 0, i]
+                win = pl.multiple_of(
+                    jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
+                cur_g = grid_ref[0, rows, pl.ds(win, window)]
+                tgt[0, rows, pl.ds(win, window)] = (
+                    tgt[0, rows, pl.ds(win, window)] + upd)
+            else:
+                cur_g = grid_ref[0, rows, :]
+                tgt[0, rows, :] = tgt[0, rows, :] + upd
+            # u[j, l] = sum_f grid[f, l] * g[j, f] per row block (for d_w)
+            ulo_s[j:j + 1, :] = jnp.sum(gcol * cur_g[:f_pad], axis=0,
+                                        keepdims=True)
+            uhi_s[j:j + 1, :] = jnp.sum(gcol * cur_g[f_pad:], axis=0,
+                                        keepdims=True)
+
+        def dw4(uvec):
+            cols = [jnp.sum(uvec * hits[min(jj, len(lane_offs) - 1)],
+                            axis=1, keepdims=True)
+                    * (1.0 if jj < len(lane_offs) else 0.0)
+                    for jj in range(4)]
+            return jnp.concatenate(cols, axis=1)
+        dwlo_ref[0, pl.ds(p0, T), :] = dw4(ulo_s[:])
+        dwhi_ref[0, pl.ds(p0, T), :] = dw4(uhi_s[:])
+        return 0
+
+    jax.lax.fori_loop(0, n_points // T, tile_body, 0)
+    if dual:
+        dgrid_ref[:] = dgrid_ref[:] + alt_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "feat", "interpret"))
+def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
+                     interpret=False):
+    """Fused backward of the slice: one pass over the points computes BOTH
+    the scatter-add of cotangents into d_grid AND the per-vertex d_w dots
+    (previously two kernels re-reading the same payload/grid).
+
+    Returns (d_grid [R, G, F], d_w_lo [R, K, 4], d_w_hi [R, K, 4])."""
+    r, k_orig = x0.shape
+    x_dim = sizes[0]
+    lane_extent = int(np.prod(sizes[1:]))
+    lanes = max(128, lane_extent)
+    f_pad = max(8, feat)
+    if g_pts.shape[-1] != f_pad:
+        g_pts = jnp.pad(g_pts,
+                        ((0, 0), (0, 0), (0, f_pad - g_pts.shape[-1])))
+    tile = _pick_tile(k_orig, interpret)
+    k_pad, x0, lane0, w_lo, w_hi, g_pts = _pad_points(
+        tile, k_orig, x0, lane0, w_lo, w_hi, g_pts)
+    packed = k_pad >= _PACK_MIN_K
+
+    g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
+    g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, lanes - lane_extent),
+                      (0, f_pad - grid.shape[-1])))
+    gk = g4.transpose(0, 1, 3, 2).reshape(r, x_dim * f_pad, lanes)
+
+    if len(sizes) == 2:
+        lane_offs = (0, 1)
+    else:
+        z = sizes[2]
+        lane_offs = (0, 1, z, z + 1)
+    window, _ = _window_of(lanes, lane_offs)
+    grid_bytes = x_dim * f_pad * lanes * 4
+    dual = grid_bytes <= _DUAL_LIMIT
+
+    kernel = functools.partial(
+        _slice_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
+        lane_offs=lane_offs, tile=tile, dual=dual, packed=packed)
+    scratch = [pltpu.VMEM((tile, window), jnp.float32),
+               pltpu.VMEM((tile, window), jnp.float32)]
+    if dual:
+        scratch.append(pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32))
+    dgrid, dwlo, dwhi = pl.pallas_call(
+        kernel,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ] + _point_specs(k_pad, f_pad, packed) + [
+            pl.BlockSpec((1, x_dim * f_pad, lanes), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, x_dim * f_pad, lanes),
+                                lambda bh: (bh, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, k_pad, 4), lambda bh: (bh, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, k_pad, 4), lambda bh: (bh, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((r, x_dim * f_pad, lanes),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((r, k_pad, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((r, k_pad, 4), jnp.float32)),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x0[:, None, :], lane0[:, None, :],
+      *_point_args(lane0, w_lo, w_hi, g_pts, packed), gk)
+
+    dg = dgrid.reshape(r, x_dim, f_pad, lanes)[:, :, :feat, :lane_extent]
+    dg = dg.transpose(0, 1, 3, 2).reshape(r, x_dim * lane_extent, feat)
+    return dg, dwlo[:, :k_orig, :], dwhi[:, :k_orig, :]
