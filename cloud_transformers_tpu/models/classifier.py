@@ -20,6 +20,7 @@ from cloud_transformers_tpu.nn.conv_blocks import (
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.multihead import MultiHeadPool, MultiHeadUnion, _bn
 from cloud_transformers_tpu.nn.precision import MXUDense
+from cloud_transformers_tpu.parallel.constrain import constrain_batch
 
 
 # one stage = 3 unions of (features_dims, heads, tensor_sizes, tensor_dims)
@@ -124,11 +125,22 @@ class ClassifierBackbone(nn.Module):
 
     ``remat`` checkpoints each union block (recompute in backward): the
     12-block trunk's pre-splat/gather activations otherwise exceed single-chip
-    HBM at training batch sizes — the standard XLA memory/FLOPs trade."""
+    HBM at training batch sizes — the standard XLA memory/FLOPs trade.
+
+    The size knobs (``repeats``/``stage_plan``/``pool_*``/``trunk_width``)
+    default to the production network; the driver's multichip dryrun
+    instantiates this same class with tiny values so the validated code path
+    is exactly the production one."""
 
     model_dim: int = 512
     scales: bool = False
     remat: bool = True
+    repeats: int = 4
+    stage_plan: tuple = DEFAULT_STAGE_PLAN
+    pool_heads: int = 16
+    pool_feature_dims: tuple = (32, 16)   # (3D, 2D) per-head feature dims
+    pool_sizes: tuple = (8, 16)           # (3D, 2D) grid sizes
+    trunk_width: int = 64                 # per-group planes in the Res trunks
 
     @nn.compact
     def __call__(self, pcd, train=True):
@@ -137,33 +149,44 @@ class ClassifierBackbone(nn.Module):
         x = nn.relu(_bn(train, name="stem_bn")(x))
 
         x, stats = MHCTTrunk(model_dim=self.model_dim, scales=self.scales,
-                             remat=self.remat, name="trunk")(
+                             remat=self.remat, repeats=self.repeats,
+                             stage_plan=self.stage_plan, name="trunk")(
             x, pcd, None, train)
 
         res = x
+        hp = self.pool_heads
 
-        to_3d, s3 = MultiHeadPool(in_feature_dim=32, heads=16, tensor_size=8,
+        to_3d, s3 = MultiHeadPool(in_feature_dim=self.pool_feature_dims[0],
+                                  heads=hp, tensor_size=self.pool_sizes[0],
                                   tensor_dim=3, scales=self.scales,
                                   name="pool3d")(res, pcd, train=train)
-        to_2d, s2 = MultiHeadPool(in_feature_dim=16, heads=16, tensor_size=16,
+        to_2d, s2 = MultiHeadPool(in_feature_dim=self.pool_feature_dims[1],
+                                  heads=hp, tensor_size=self.pool_sizes[1],
                                   tensor_dim=2, scales=self.scales,
                                   name="pool2d")(res, pcd, train=train)
         stats += [s3, s2]
 
+        # the pooled grids leave the per-point regime here: pin them to
+        # batch-on-'data' so the points mesh axis can't leak into the Res
+        # trunk's conv-kernel-grad partitioning (parallel/constrain.py)
+        to_3d = constrain_batch(to_3d)
+        to_2d = constrain_batch(to_2d)
+
+        w = self.trunk_width
         # Res3D trunk: 512 -> 1024 with two pools -> GAP (classifier.py:74-79)
-        h3 = Res3DBlock(out_planes=64 * 16, groups=16)(to_3d, train)
+        h3 = Res3DBlock(out_planes=w * hp, groups=hp)(to_3d, train)
         h3 = max_pool_nd(h3, 2)
-        h3 = Res3DBlock(out_planes=64 * 16, groups=16)(h3, train)
+        h3 = Res3DBlock(out_planes=w * hp, groups=hp)(h3, train)
         h3 = max_pool_nd(h3, 2)
-        h3 = Res3DBlock(out_planes=64 * 16, groups=16)(h3, train)
+        h3 = Res3DBlock(out_planes=w * hp, groups=hp)(h3, train)
         pooled_3d = jnp.mean(h3, axis=(1, 2, 3))
 
         # Res2D trunk (classifier.py:87-92)
-        h2 = Res2DBlock(out_planes=32 * 16, groups=16)(to_2d, train)
+        h2 = Res2DBlock(out_planes=(w // 2) * hp, groups=hp)(to_2d, train)
         h2 = max_pool_nd(h2, 2)
-        h2 = Res2DBlock(out_planes=64 * 16, groups=16)(h2, train)
+        h2 = Res2DBlock(out_planes=w * hp, groups=hp)(h2, train)
         h2 = max_pool_nd(h2, 2)
-        h2 = Res2DBlock(out_planes=64 * 16, groups=16)(h2, train)
+        h2 = Res2DBlock(out_planes=w * hp, groups=hp)(h2, train)
         pooled_2d = jnp.mean(h2, axis=(1, 2))
 
         pooled = jnp.concatenate([pooled_2d, pooled_3d], axis=-1)  # [B, 2048]
@@ -178,21 +201,33 @@ class Classifier(nn.Module):
     model_dim: int = 512
     scales: bool = False
     remat: bool = True
+    repeats: int = 4
+    stage_plan: tuple = DEFAULT_STAGE_PLAN
+    pool_heads: int = 16
+    pool_feature_dims: tuple = (32, 16)
+    pool_sizes: tuple = (8, 16)
+    trunk_width: int = 64
+    class_dim: int = 1024
+    mask_dim: int = 256
 
     @nn.compact
     def __call__(self, pcd, train=True):
         res, pooled, stats = ClassifierBackbone(
             model_dim=self.model_dim, scales=self.scales, remat=self.remat,
+            repeats=self.repeats, stage_plan=self.stage_plan,
+            pool_heads=self.pool_heads,
+            pool_feature_dims=self.pool_feature_dims,
+            pool_sizes=self.pool_sizes, trunk_width=self.trunk_width,
             name="backbone")(pcd, train=train)
 
-        cv = MXUDense(1024, kernel_init=torch_kernel_init(),
-                      bias_init=torch_bias_init(2048),
+        cv = MXUDense(self.class_dim, kernel_init=torch_kernel_init(),
+                      bias_init=torch_bias_init(pooled.shape[-1]),
                       name="class_vector")(pooled)
         class_vect = nn.relu(_bn(train, name="class_vector_bn")(cv))
 
         ch = nn.Dropout(0.5, deterministic=not train)(class_vect)
         class_pred = MXUDense(self.n_classes, kernel_init=torch_kernel_init(),
-                              bias_init=torch_bias_init(1024),
+                              bias_init=torch_bias_init(self.class_dim),
                               name="class_head")(ch)
 
         # per-point mask head conditioned on the class vector
@@ -200,15 +235,16 @@ class Classifier(nn.Module):
         p = res.shape[1]
         mh = jnp.concatenate(
             [res, jnp.broadcast_to(class_vect[:, None, :],
-                                   (res.shape[0], p, 1024))], axis=-1)
+                                   (res.shape[0], p, self.class_dim))],
+            axis=-1)
         mh = nn.Dropout(0.5, deterministic=not train)(mh)
-        mh = MXUDense(256, use_bias=False, kernel_init=torch_kernel_init(),
-                      name="mask_conv1")(mh)
+        mh = MXUDense(self.mask_dim, use_bias=False,
+                      kernel_init=torch_kernel_init(), name="mask_conv1")(mh)
         mh = _bn(train, name="mask_bn")(mh)
         # ReLUDropoutInplace(0.5) == dropout(relu(x)) (classifier.py:20-32)
         mh = nn.Dropout(0.5, deterministic=not train)(nn.relu(mh))
         mask_pred = MXUDense(1, kernel_init=torch_kernel_init(),
-                             bias_init=torch_bias_init(256),
+                             bias_init=torch_bias_init(self.mask_dim),
                              name="mask_conv2")(mh)
 
         return class_pred, mask_pred, stats

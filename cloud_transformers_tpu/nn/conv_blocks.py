@@ -37,14 +37,13 @@ class GroupedConvTranspose(nn.Module):
         kernel = self.param(
             "kernel", torch_kernel_init(),
             (k,) * dim + (in_ch // self.groups, self.features))
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape,
-            ("NHWC", "HWIO", "NHWC") if dim == 2 else
-            ("NDHWC", "DHWIO", "NDHWC"))
-        out = jax.lax.conv_general_dilated(
+        from cloud_transformers_tpu.ops.conv_safe import conv_general_safe
+        out = conv_general_safe(
             x, kernel, window_strides=(1,) * dim,
             padding=[(k - 1, k - 1)] * dim, lhs_dilation=(s,) * dim,
-            dimension_numbers=dn, feature_group_count=self.groups)
+            dimension_numbers=(("NHWC", "HWIO", "NHWC") if dim == 2 else
+                               ("NDHWC", "DHWIO", "NDHWC")),
+            feature_group_count=self.groups)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.features,))

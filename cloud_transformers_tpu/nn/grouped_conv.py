@@ -80,10 +80,15 @@ class GroupedConv(nn.Module):
                 xq, kq, window_strides=(1,) * len(self.kernel_size),
                 padding=pad, dimension_numbers=dn, feature_group_count=1)
         else:
+            from cloud_transformers_tpu.ops.conv_safe import conv_general_safe
             xq, kq = precision.cast_operands(dt, x, kernel)
-            out = jax.lax.conv_general_dilated(
+            out = conv_general_safe(
                 xq, kq, window_strides=(1,) * len(self.kernel_size),
-                padding=pad, dimension_numbers=dn, feature_group_count=g)
+                padding=pad,
+                dimension_numbers=(("NHWC", "HWIO", "NHWC")
+                                   if len(self.kernel_size) == 2
+                                   else ("NDHWC", "DHWIO", "NDHWC")),
+                feature_group_count=g)
         out = out.astype(jnp.float32)
         if bias is not None:
             out = out + bias

@@ -74,20 +74,64 @@ class MXUDense(nn.Module):
         return y
 
 
-class MXUConv(nn.Conv):
-    """``nn.Conv`` that runs at the policy dtype with a float32 result.
+class MXUConv(nn.Module):
+    """``nn.Conv`` drop-in: policy-dtype operands, float32 result, same
+    param names/shapes as ``nn.Conv`` (checkpoints and the torch converter
+    interchange).
 
-    Subclass keeps flax param names/shapes identical to ``nn.Conv`` so
-    checkpoints and the torch converter are unaffected."""
+    Standalone module (not an ``nn.Conv`` subclass) for two reasons: the
+    policy dtype is resolved at trace time without mutating the frozen
+    module, and the convolution runs through ``ops.conv_safe`` so grouped
+    kernel grads stay correct under multi-axis meshes."""
+
+    features: int
+    kernel_size: Any = (3, 3)
+    strides: Any = 1
+    padding: Any = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros_init()
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
+        from cloud_transformers_tpu.ops.conv_safe import conv_general_safe
+
+        ksize = ((self.kernel_size,) * (x.ndim - 2)
+                 if isinstance(self.kernel_size, int)
+                 else tuple(self.kernel_size))
+        ndim = len(ksize)
+        assert x.ndim == ndim + 2, (x.shape, ksize)
+        strides = ((self.strides,) * ndim if isinstance(self.strides, int)
+                   else tuple(self.strides))
+        if isinstance(self.padding, str):
+            padding = self.padding
+        elif isinstance(self.padding, int):
+            padding = ((self.padding, self.padding),) * ndim
+        else:
+            padding = tuple(
+                (p, p) if isinstance(p, int) else tuple(p)
+                for p in self.padding)
+
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            ksize + (in_ch // self.feature_group_count, self.features))
+        dn = (("NHWC", "HWIO", "NHWC") if ndim == 2 else
+              ("NDHWC", "DHWIO", "NDHWC") if ndim == 3 else
+              ("NWC", "WIO", "NWC"))
+
         dt = resolve(self.dtype)
-        if dt is None or dt == jnp.float32:
-            object.__setattr__(self, "dtype", None)
-            return super().__call__(x)
-        object.__setattr__(self, "dtype", dt)
-        return super().__call__(x.astype(dt)).astype(jnp.float32)
+        xq, kq = cast_operands(dt, x, kernel)
+        y = conv_general_safe(
+            xq, kq, window_strides=strides, padding=padding,
+            dimension_numbers=dn,
+            feature_group_count=self.feature_group_count)
+        y = y.astype(jnp.float32)
+        if self.use_bias:
+            y = y + self.param("bias", self.bias_init, (self.features,))
+        return y
 
 
 # flax auto-names submodules by class __name__; keep the original names so
