@@ -166,17 +166,28 @@ class S3DISSeg:
         self._potentials = [self._sched_rng.rand(p.shape[0]) * 1e-3
                             for p in self.sub_points]
         self._min_pot = [float(p.min()) for p in self._potentials]
-        self.cloud_inds, self.point_inds, self.noise = [], [], []
+        # one list of atomic (cloud_idx, point_idx, noise) tuples: readers
+        # of already-built entries never need the lock (a list append is
+        # atomic, so a passed length check can't see a torn entry)
+        self._schedule = []
         self._sched_lock = threading.Lock()
         self._prefetch_thread = None
         self._extend_schedule(self.num_steps)  # epoch 0 ready immediately
 
     def _extend_schedule(self, until):
-        """Generate schedule entries so len >= until (serial, under lock)."""
-        with self._sched_lock:
-            rng = self._sched_rng
-            r_sq = self.in_radius ** 2
-            while len(self.cloud_inds) < until:
+        """Generate schedule entries so len >= until.
+
+        The sequence is inherently serial (each pick updates the shared
+        potentials), but the lock is taken PER ENTRY: the background
+        prefetch of the next epoch and ``__getitem__``'s catch-up path
+        interleave instead of the first batch of an epoch stalling behind a
+        full next-epoch build."""
+        r_sq = self.in_radius ** 2
+        while len(self._schedule) < until:
+            with self._sched_lock:
+                if len(self._schedule) >= until:
+                    break
+                rng = self._sched_rng
                 ci = int(np.argmin(self._min_pot))
                 pi = int(np.argmin(self._potentials[ci]))
                 center = self.sub_points[ci][pi][None]
@@ -193,9 +204,12 @@ class S3DISSeg:
                 tukey[d > r_sq] = 0
                 self._potentials[ci][q] += tukey
                 self._min_pot[ci] = float(self._potentials[ci].min())
-                self.cloud_inds.append(ci)
-                self.point_inds.append(pi)
-                self.noise.append(noise.astype(np.float32))
+                self._schedule.append((ci, pi, noise.astype(np.float32)))
+
+    @property
+    def cloud_inds(self):
+        """Built schedule cloud indices (test/introspection view)."""
+        return [e[0] for e in self._schedule]
 
     def set_epoch(self, epoch):
         import threading
@@ -218,13 +232,13 @@ class S3DISSeg:
     def __getitem__(self, idx):
         from cloud_transformers_tpu.data.loader import item_rng
         sched = idx + self.epoch * self.num_steps
-        # always go through the lock: the daemon prefetch thread appends to
-        # the three schedule lists, so an unlocked length check could pass
-        # on a torn entry
-        self._extend_schedule(sched + 1)
-        ci = self.cloud_inds[sched]
-        pi = self.point_inds[sched]
-        pick = self.sub_points[ci][pi][None] + self.noise[sched]
+        # lock-free fast path: entries are atomic tuples, so a passed
+        # length check guarantees a fully-built entry; fall into the
+        # (per-entry) lock only when the schedule hasn't caught up yet
+        if len(self._schedule) <= sched:
+            self._extend_schedule(sched + 1)
+        ci, pi, noise = self._schedule[sched]
+        pick = self.sub_points[ci][pi][None] + noise
         rng = item_rng(self.seed, self.epoch, idx)
         q = self.trees[ci].query_radius(pick, r=self.in_radius,
                                         return_distance=True,

@@ -547,121 +547,6 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
 
 
 # ---------------------------------------------------------------------------
-# Slice backward d_w kernel: dw[k, s] = sum_f grid[vertex_s, f] * g[k, f]
-# ---------------------------------------------------------------------------
-
-def _slice_dw_kernel(x0_ref, lane0_ref, *refs,
-                     n_points, f_pad, lanes, lane_offs, tile, packed):
-    n_data = 1 if packed else 4
-    data_refs = refs[:n_data]
-    grid_ref, dwlo_ref, dwhi_ref, ulo_s, uhi_s = refs[n_data:]
-    window, windowed = _window_of(lanes, lane_offs)
-    T = tile
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
-
-    def tile_body(t, _):
-        p0 = pl.multiple_of(t * T, T)
-        lane_t, _, _, gt = _load_point_tile(data_refs, packed, p0, T, f_pad)
-        rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
-               if windowed else lane_t)
-        hits = [(lane_iota == (rel + off)).astype(jnp.float32)
-                for off in lane_offs]
-
-        for j in range(T):
-            i = t * T + j
-            x0 = x0_ref[0, 0, i]
-            gcol = gt[:, j:j + 1]                       # [F_pad, 1]
-            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
-            if windowed:
-                lane0 = lane0_ref[0, 0, i]
-                win = pl.multiple_of(
-                    jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
-                cur = grid_ref[0, rows, pl.ds(win, window)]
-            else:
-                cur = grid_ref[0, rows, :]
-            # u[j, l] = sum_f grid[f, l] * g[j, f] per row block
-            ulo_s[j:j + 1, :] = jnp.sum(gcol * cur[:f_pad], axis=0,
-                                        keepdims=True)
-            uhi_s[j:j + 1, :] = jnp.sum(gcol * cur[f_pad:], axis=0,
-                                        keepdims=True)
-
-        def dw4(uvec):
-            cols = [jnp.sum(uvec * hits[min(jj, len(lane_offs) - 1)],
-                            axis=1, keepdims=True)
-                    * (1.0 if jj < len(lane_offs) else 0.0)
-                    for jj in range(4)]
-            return jnp.concatenate(cols, axis=1)        # [T, 4]
-        dwlo_ref[0, pl.ds(p0, T), :] = dw4(ulo_s[:])
-        dwhi_ref[0, pl.ds(p0, T), :] = dw4(uhi_s[:])
-        return 0
-
-    jax.lax.fori_loop(0, n_points // T, tile_body, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("sizes", "feat", "interpret"))
-def pallas_slice_dw(x0, lane0, g_pts, grid, sizes, feat, interpret=False):
-    """d_w of the slice: per-point-vertex dot of the gathered grid rows with
-    the point cotangent (the XLA row-gather formulation costs ~33 ms at
-    production shape; this kernel reuses the splat windowing).
-
-    Returns (d_w_lo [R,K,4], d_w_hi [R,K,4])."""
-    r, k_orig = x0.shape
-    x_dim = sizes[0]
-    lane_extent = int(np.prod(sizes[1:]))
-    lanes = max(128, lane_extent)
-    f_pad = max(8, feat)
-    if g_pts.shape[-1] != f_pad:
-        g_pts = jnp.pad(g_pts,
-                        ((0, 0), (0, 0), (0, f_pad - g_pts.shape[-1])))
-    tile = _pick_tile(k_orig, interpret)
-    k_pad, x0, lane0, g_pts = _pad_points(tile, k_orig, x0, lane0, g_pts)
-    packed = k_pad >= _PACK_MIN_K
-    zeros4 = jnp.zeros((r, k_pad, 4), g_pts.dtype)
-
-    g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
-    g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, lanes - lane_extent),
-                      (0, f_pad - grid.shape[-1])))
-    gk = g4.transpose(0, 1, 3, 2).reshape(r, x_dim * f_pad, lanes)
-
-    if len(sizes) == 2:
-        lane_offs = (0, 1)
-    else:
-        z = sizes[2]
-        lane_offs = (0, 1, z, z + 1)
-    window, _ = _window_of(lanes, lane_offs)
-
-    kernel = functools.partial(
-        _slice_dw_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile, packed=packed)
-    dwlo, dwhi = pl.pallas_call(
-        kernel,
-        grid=(r,),
-        in_specs=[
-            pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ] + _point_specs(k_pad, f_pad, packed) + [
-            pl.BlockSpec((1, x_dim * f_pad, lanes), lambda bh: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pl.BlockSpec((1, k_pad, 4), lambda bh: (bh, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, k_pad, 4), lambda bh: (bh, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((r, k_pad, 4), jnp.float32),
-                   jax.ShapeDtypeStruct((r, k_pad, 4), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((tile, window), jnp.float32),
-                        pltpu.VMEM((tile, window), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(x0[:, None, :], lane0[:, None, :],
-      *_point_args(lane0, zeros4, zeros4, g_pts, packed), gk)
-    return dwlo[:, :k_orig, :], dwhi[:, :k_orig, :]
-
-
-# ---------------------------------------------------------------------------
 # Fused slice backward: d_grid (scatter-add of cotangents) + d_w in one pass
 # ---------------------------------------------------------------------------
 

@@ -79,13 +79,16 @@ class InferenceEngine:
             self._compiled[key] = fn
         return self._compiled[key]
 
-    def predict(self, clouds: Sequence[np.ndarray]):
-        """clouds: list of [n_i, 3] arrays -> model outputs at padded shapes
-        plus the (batch, points) used.  Point padding repeats each cloud's
-        own points; batch padding repeats the last cloud and is sliced off.
-        """
+    def predict_padded(self, clouds: Sequence[np.ndarray]):
+        """clouds: list of [n_i, 3] arrays -> raw model outputs at padded
+        shapes plus the real request count.  Point padding repeats each
+        cloud's own points; batch padding repeats the last cloud.  The batch
+        bucket is always rounded up to a multiple of the mesh 'data' size so
+        the work genuinely shards (no silent fully-replicated compute)."""
         n = len(clouds)
+        d = int(self.mesh.shape["data"])
         b = _next_bucket(n, self.batch_buckets)
+        b = -(-b // d) * d  # mesh-divisible: every chip gets a real shard
         p = _next_bucket(max(c.shape[0] for c in clouds),
                          self.point_buckets)
         batch = np.zeros((b, p, 3), np.float32)
@@ -93,14 +96,36 @@ class InferenceEngine:
             c = np.asarray(clouds[min(i, n - 1)], np.float32)
             reps = -(-p // c.shape[0])
             batch[i] = np.tile(c, (reps, 1))[:p]
-        if b % self.mesh.shape["data"] == 0:
-            arr = shard_batch(self.mesh, {"pcd": batch})["pcd"]
-        else:  # small batches don't divide the mesh: run replicated
-            arr = replicate(self.mesh, jnp.asarray(batch))
+        arr = shard_batch(self.mesh, {"pcd": batch})["pcd"]
         out = self._get_fn(b, p)(self.variables, arr)
-        return out, n
+        return out, n, b, p
+
+    def predict(self, clouds: Sequence[np.ndarray]):
+        """clouds: list of [n_i, 3] arrays -> list of per-request output
+        pytrees.  Each leaf has its batch axis removed; leaves carrying a
+        per-point axis (length == padded point count) are sliced back to the
+        request's original length, so point padding never leaks to callers.
+        """
+        out, n, b, p = self.predict_padded(clouds)
+        out = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
+
+        results = []
+        for i, cloud in enumerate(clouds[:n]):
+            n_pts = int(np.asarray(cloud).shape[0])
+
+            def trim(leaf, i=i, n_pts=n_pts):
+                if not hasattr(leaf, "ndim") or leaf.ndim == 0 or \
+                        leaf.shape[0] != b:
+                    return leaf  # no batch axis (scalar stats etc.)
+                leaf_i = leaf[i]
+                if leaf_i.ndim >= 1 and leaf_i.shape[0] == p:
+                    leaf_i = leaf_i[: min(n_pts, p)]
+                return leaf_i
+
+            results.append(jax.tree_util.tree_map(trim, out))
+        return results
 
     def classify(self, clouds: Sequence[np.ndarray]):
         """-> class probabilities [len(clouds), n_classes]."""
-        (class_pred, _mask, _stats), n = self.predict(clouds)
+        (class_pred, _mask, _stats), n, _b, _p = self.predict_padded(clouds)
         return np.asarray(jax.nn.softmax(class_pred, axis=-1))[:n]

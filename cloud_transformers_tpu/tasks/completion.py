@@ -40,6 +40,30 @@ def make_loss_fn(chamfer_weight=0.0, emd_eps=0.005, emd_iters=50,
     return loss_fn
 
 
+def make_mesh_hook(gt_scale=2.0, max_clouds=4):
+    """Periodic TB point-cloud logging during completion training
+    (reference: writer.add_mesh of recon/gt every 30 batches,
+    train_inpainter.py:236-243).  Runs an eval-mode forward on the first
+    ``max_clouds`` items of the current batch."""
+    import numpy as np
+
+    def hook(trainer, batch):
+        gt = jnp.asarray(batch["gt"])[:max_clouds] * gt_scale
+        parts, noise = partial_postprocess(
+            jax.random.PRNGKey(trainer.global_step),
+            jnp.asarray(batch["partial"])[:max_clouds], gt.shape[1])
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
+        recon, _stats = trainer.state.apply_fn(variables, noise, parts,
+                                               train=False)
+        trainer.metrics.mesh(trainer.global_step, "train/recon",
+                             np.asarray(recon))
+        trainer.metrics.mesh(trainer.global_step, "train/gt", np.asarray(gt))
+        trainer.metrics.mesh(trainer.global_step, "train/partial_input",
+                             np.asarray(parts)[..., :3])
+    return hook
+
+
 def make_datasets(cfg, synthetic=False):
     d = cfg["data"]
     common = dict(n_input=d.get("input_size", 2048),

@@ -35,6 +35,26 @@ def make_loss_fn(emd_eps=0.005, emd_iters=50):
     return loss_fn
 
 
+def make_mesh_hook(max_clouds=4):
+    """Periodic TB point-cloud logging (recon vs gt) during reconstruction
+    training — observability parity with train_inpainter.py:236-243."""
+    import numpy as np
+
+    def hook(trainer, batch):
+        gt = jnp.asarray(batch["pcd"])[:max_clouds]
+        noise = sphere_noise(jax.random.PRNGKey(trainer.global_step),
+                             gt.shape[0], gt.shape[1])
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
+        recon, _stats = trainer.state.apply_fn(
+            variables, noise, jnp.asarray(batch["image"])[:max_clouds],
+            train=False)
+        trainer.metrics.mesh(trainer.global_step, "train/recon",
+                             np.asarray(recon))
+        trainer.metrics.mesh(trainer.global_step, "train/gt", np.asarray(gt))
+    return hook
+
+
 def make_datasets(cfg, synthetic=False):
     d = cfg["data"]
     path = None if synthetic else d.get("path")

@@ -70,36 +70,65 @@ class Trainer:
         # optimizer state, step, epoch, and rng (the reference resumes
         # model+optimizer+epoch via restore_exp, train_util.py:82-118 +
         # train_util_distributed.py:91-103)
+        resumed = False
         if (bool(cfg.get("train", {}).get("auto_resume", True))
                 and self.ckpt.exists("latest")):
-            try:
-                state, meta = self.ckpt.restore(
-                    jax.device_get(self.state), tag="latest",
-                    meta=self._meta())
-                self.state = replicate(self.mesh, state)
-                self.global_step = int(meta["global_step"])
-                self.epoch = int(meta["epoch"])
-                self.rng = meta["rng"]
-                self.logger.info(
-                    "auto-resumed from %s (step %d, epoch %d)",
-                    self.ckpt._path("latest"), self.global_step, self.epoch)
-            except Exception as e:
-                # a torn/foreign ckpt_latest must not be silently replaced:
-                # move it aside so the evidence survives and later 'latest'
-                # saves don't bury it, then start fresh — loudly
-                quarantine = self.ckpt._path(
-                    f"latest_unreadable_{int(time.time())}")
+            last_err = None
+            for attempt in (0, 1):
                 try:
-                    os.rename(self.ckpt._path("latest"), quarantine)
-                except OSError:
-                    quarantine = "<rename failed>"
-                self.logger.error(
-                    "AUTO-RESUME FAILED: ckpt_latest could not be restored "
-                    "(%s). It was moved to %s; training restarts from "
-                    "scratch.", e, quarantine)
+                    state, meta = self.ckpt.restore(
+                        jax.device_get(self.state), tag="latest",
+                        meta=self._meta())
+                    self.state = replicate(self.mesh, state)
+                    self.global_step = int(meta["global_step"])
+                    self.epoch = int(meta["epoch"])
+                    self.rng = meta["rng"]
+                    resumed = True
+                    self.logger.info(
+                        "auto-resumed from %s (step %d, epoch %d)",
+                        self.ckpt._path("latest"), self.global_step,
+                        self.epoch)
+                    break
+                except Exception as e:
+                    last_err = e
+                    if attempt == 0:
+                        # transient I/O errors (fs hiccup, interrupted read)
+                        # deserve one retry before any destructive handling
+                        self.logger.warning(
+                            "auto-resume attempt failed (%s); retrying", e)
+            if not resumed and last_err is not None:
+                if isinstance(last_err, (ValueError, KeyError, TypeError)):
+                    # structural mismatch (torn/foreign/layout-incompatible
+                    # checkpoint): quarantine it so the evidence survives
+                    # and later 'latest' saves don't bury it; restart fresh
+                    quarantine = self.ckpt._path(
+                        f"latest_unreadable_{int(time.time())}")
+                    try:
+                        os.rename(self.ckpt._path("latest"), quarantine)
+                    except OSError:
+                        quarantine = "<rename failed>"
+                    self.logger.error(
+                        "AUTO-RESUME FAILED: ckpt_latest could not be "
+                        "restored (%s). It was moved to %s; training "
+                        "restarts from scratch.", last_err, quarantine)
+                else:
+                    # persistent but non-structural (I/O, OOM): the ckpt is
+                    # probably fine — fail fast so the operator can restart
+                    # instead of silently discarding training progress
+                    raise last_err
 
-        # optional restore (cfg['restore'] section, train_util.py:82-118)
+        # optional restore (cfg['restore'] section, train_util.py:82-118).
+        # Runs only at run START: after a successful auto-resume the model
+        # already carries trained weights, and re-applying the pretrained
+        # restore would silently discard all progress since the last start
+        # (the reference likewise restores only before its epoch loop,
+        # train_classification.py:132-141)
         restore = cfg.get("restore")
+        if resumed and restore and restore.get("generator"):
+            self.logger.info(
+                "skipping cfg['restore'] (%s): run auto-resumed from "
+                "ckpt_latest", restore["generator"])
+            restore = None
         if restore and restore.get("generator"):
             from cloud_transformers_tpu.train.checkpoint import (
                 restore_params_only)
@@ -168,7 +197,8 @@ class Trainer:
     def fit(self, train_loader, val_loader=None,
             eval_hook: Optional[Callable] = None,
             num_epochs: Optional[int] = None, max_steps: Optional[int] = None,
-            epoch_hook: Optional[Callable] = None):
+            epoch_hook: Optional[Callable] = None,
+            mesh_hook: Optional[Callable] = None):
         """Run the reference's epoch loop: periodic logging/ckpt, validation
         every ``val_step`` epochs, best-metric checkpoints (``best`` for the
         primary metric, ``macc_best`` for m_acc — the reference's two gates,
@@ -185,6 +215,9 @@ class Trainer:
         profile_at = tcfg.get("profile_step")
         profile_len = int(tcfg.get("profile_steps", 5))
         profiling = False
+        # point-cloud summaries every mesh_each steps (the reference logs
+        # recon/gt meshes every 30 batches, train_inpainter.py:236-243)
+        mesh_each = int(tcfg.get("mesh_each", 100))
         keys = [tcfg.get("best_metric", "loss")]
         keys += [k for k in tcfg.get("best_metrics", []) if k not in keys]
         best = {k: -np.inf for k in keys}
@@ -231,6 +264,9 @@ class Trainer:
                         "epoch %d step %d: %s", epoch, self.global_step,
                         {k: round(v, 4) for k, v in host.items()
                          if "/" not in k})
+                if (mesh_hook is not None and mesh_each
+                        and self.global_step % mesh_each == 0):
+                    mesh_hook(self, batch)
                 if save and save_each and self.global_step % save_each == 0:
                     self.ckpt.save(self.state, "latest", meta=self._meta())
                 if max_steps and self.global_step >= max_steps:

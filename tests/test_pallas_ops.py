@@ -207,15 +207,15 @@ class TestPackedPointLayout:
                                   g, sizes, feat, interpret=True)
         g_pts = jnp.asarray(np.random.RandomState(6).randn(
             x0.shape[0], x0.shape[1], feat).astype(np.float32))
-        dw = ps.pallas_slice_dw(x0, lane0, g_pts, ref_grid, sizes, feat,
-                                interpret=True)
+        sbwd = ps.pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, ref_grid,
+                                   sizes, feat, interpret=True)
         ps._PACK_MIN_K = 10 ** 9
         bwd_ref = ps.pallas_splat_bwd(x0, lane0, w_lo, w_hi, values,
                                       ref_grid, g, sizes, feat,
                                       interpret=True)
-        dw_ref = ps.pallas_slice_dw(x0, lane0, g_pts, ref_grid, sizes, feat,
-                                    interpret=True)
+        sbwd_ref = ps.pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts,
+                                       ref_grid, sizes, feat, interpret=True)
         ps._PACK_MIN_K = 1
-        for a, b in list(zip(bwd, bwd_ref)) + list(zip(dw, dw_ref)):
+        for a, b in list(zip(bwd, bwd_ref)) + list(zip(sbwd, sbwd_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)

@@ -169,6 +169,44 @@ class TestAutoResume:
             jax.device_get(t1.state.opt_state),
             jax.device_get(t2.state.opt_state))
 
+    def test_resume_skips_cfg_restore(self, tmp_path):
+        """After a successful auto-resume, the cfg['restore'] (finetune
+        from pretrained) block must NOT overwrite the resumed params —
+        otherwise every restart of a finetune run silently loses all
+        progress since the last start while keeping the resumed step."""
+        from cloud_transformers_tpu.train.checkpoint import save_params_only
+        ds = ScanObjectNN(None, train=False, num_points=64,
+                          synthetic_items=16)
+        loader = DataLoader(ds, 8)
+        cfg = tiny_cfg(tmp_path)
+        model = TinyClassifier()
+        loss_fn = classification.make_loss_fn(0.5)
+        sample = next(iter(loader))
+
+        # "pretrained" checkpoint = the fresh init of a throwaway run
+        pre = Trainer(model, cfg, "pre", loss_fn,
+                      sample_args=(jnp.asarray(sample["pcd"]),))
+        pre_path = str(tmp_path / "pretrained")
+        save_params_only(jax.device_get(pre.state.params),
+                         jax.device_get(pre.state.batch_stats), pre_path)
+
+        cfg_ft = dict(tiny_cfg(tmp_path),
+                      restore={"generator": pre_path})
+        t1 = Trainer(TinyClassifier(), cfg_ft, "ft", loss_fn,
+                     sample_args=(jnp.asarray(sample["pcd"]),))
+        for batch in loader:
+            t1.train_step(batch)
+        t1.ckpt.save(t1.state, "latest", meta=t1._meta())
+
+        # restart: auto-resume must win over the restore section
+        t2 = Trainer(TinyClassifier(), cfg_ft, "ft", loss_fn,
+                     sample_args=(jnp.asarray(sample["pcd"]),))
+        assert t2.global_step == t1.global_step
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b)),
+            jax.device_get(t1.state.params), jax.device_get(t2.state.params))
+
 
 class TestRestoreParamsOnly:
     def test_restores_from_all_checkpoint_layouts(self, tmp_path):

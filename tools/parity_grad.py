@@ -1,0 +1,495 @@
+#!/usr/bin/env python
+"""Backward / trajectory parity against the reference PyTorch code.
+
+Extends tools/parity_check.py (forward-only) with the strongest parity
+evidence available under zero egress (released checkpoints unreachable,
+VERDICT r2 #4):
+
+* **forward rows for the inpainter and reconstructor** (the AdaIN decoder
+  path and the ResNet50 trunk — previously unchecked);
+* **gradient parity** for all four model families: identical inputs +
+  converted random weights, identical scalar pseudo-loss, per-parameter
+  cosine between torch autograd grads (mapped through the checkpoint
+  converter — its transforms are linear, so they apply to grads verbatim)
+  and jax.grad;
+* **a 10-step Adam trajectory A/B** (lr 1e-3) on the classifier: both
+  frameworks optimize the same pseudo-loss from the same init; parameters
+  are compared after steps 1/5/10;
+* **train-mode BatchNorm check**: one train-mode forward (dropout forced
+  off on both sides) comparing outputs AND the updated running statistics.
+
+torchvision is not installed here; ``install_torchvision_stub`` provides a
+faithful torch ResNet50 (v1.5, stride on the 3x3) with torchvision's
+``children()`` order so the reference reconstructor and the converter's
+key layout (tools/convert_torch_checkpoint.py:315-343) both work.
+
+Usage:
+  python tools/parity_grad.py [--points 128] [--append-report PARITY.md]
+"""
+
+import argparse
+import sys
+import types
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from tools.parity_check import (  # noqa: E402
+    REFERENCE, _cosine, install_stubs, load_reference_model)
+
+
+# --------------------------------------------------------------------------
+# torchvision stub: standard ResNet50 with torchvision naming/child order
+# --------------------------------------------------------------------------
+
+def install_torchvision_stub():
+    import torch
+    from torch import nn
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet(nn.Module):
+        def __init__(self, layers=(3, 4, 6, 3), num_classes=1000):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(64, layers[0])
+            self.layer2 = self._make_layer(128, layers[1], stride=2)
+            self.layer3 = self._make_layer(256, layers[2], stride=2)
+            self.layer4 = self._make_layer(512, layers[3], stride=2)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(512 * 4, num_classes)
+
+        def _make_layer(self, planes, blocks, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * 4:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * 4, 1, stride,
+                              bias=False),
+                    nn.BatchNorm2d(planes * 4))
+            layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * 4
+            layers += [Bottleneck(self.inplanes, planes)
+                       for _ in range(1, blocks)]
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(torch.flatten(self.avgpool(x), 1))
+
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    tv_models.resnet50 = lambda pretrained=False, **kw: ResNet()
+    tv.models = tv_models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv_models
+
+
+def disable_dropout_everywhere():
+    """Force dropout off on both sides so train-mode runs are
+    deterministic: torch p=0, flax Dropout -> identity."""
+    import flax.linen as fnn
+
+    fnn.Dropout.__call__ = lambda self, x, *a, **k: x
+
+    def torch_zero_dropout(model):
+        import torch.nn as tnn
+        for m in model.modules():
+            if isinstance(m, tnn.Dropout):
+                m.p = 0.0
+            if hasattr(m, "p") and type(m).__name__ == "ReLUDropoutInplace":
+                m.p = 0.0  # classifier.py:20-32 custom fused relu-dropout
+    return torch_zero_dropout
+
+
+# --------------------------------------------------------------------------
+# model harnesses: build ref + ours, provide aligned outputs in both
+# --------------------------------------------------------------------------
+
+class Family:
+    """One model family: reference torch model, converted flax model, and
+    framework-specific forward fns returning a list of ALIGNED arrays."""
+
+    def __init__(self, name, points=128):
+        import torch
+        import jax.numpy as jnp
+        from cloud_transformers_tpu.models import get_model
+        from tools.convert_torch_checkpoint import convert
+
+        self.name = name
+        rng = np.random.RandomState(0)
+        torch.manual_seed(0)
+
+        if name == "scanobject_classifier":
+            self.ref = load_reference_model(
+                "model_zoo/scanobject/classifier.py", n_classes=15)
+            self.model = get_model("scanobject_classifier", n_classes=15)
+            pcd = rng.randn(2, 3, 1, points).astype(np.float32) * 0.3
+            self.t_in = (torch.from_numpy(pcd),)
+            self.j_in = (jnp.asarray(np.transpose(pcd[:, :, 0], (0, 2, 1))),)
+            self.t_fwd = lambda m, i: [m(*i)[0], m(*i)[1][:, 0]]
+            self.j_fwd = lambda f, v, i, train: (
+                lambda o: [o[0], o[1][..., 0]])(
+                    f(v, *i, train=train,
+                      **({"mutable": ["batch_stats"]} if train else {})))
+        elif name == "s3dis_segmenter_pad":
+            self.ref = load_reference_model("model_zoo/s3dis/segmenter_pad.py")
+            self.model = get_model("s3dis_segmenter_pad")
+            pcd = rng.randn(2, points, 3).astype(np.float32) * 0.3
+            feats = rng.rand(2, 4, points).astype(np.float32)
+            mask = np.ones((2, points), np.float32)
+            self.t_in = (torch.from_numpy(pcd), torch.from_numpy(mask),
+                         torch.from_numpy(feats))
+            self.j_in = (jnp.asarray(pcd), jnp.asarray(mask),
+                         jnp.asarray(np.transpose(feats, (0, 2, 1))))
+            self.t_fwd = lambda m, i: [m(*i)]
+            self.j_fwd = lambda f, v, i, train: [
+                np.transpose(_first(f(v, *i, train=train)), (0, 2, 1))]
+        elif name == "completion_inpainter":
+            self.ref = load_reference_model(
+                "model_zoo/completion/inpainter.py")
+            self.model = get_model("completion_inpainter")
+            noise = rng.randn(2, 4, points).astype(np.float32)
+            part = rng.randn(2, 3, points).astype(np.float32) * 0.3
+            self.t_in = (torch.from_numpy(noise), torch.from_numpy(part))
+            self.j_in = (jnp.asarray(np.transpose(noise, (0, 2, 1))),
+                         jnp.asarray(np.transpose(part, (0, 2, 1))))
+            self.t_fwd = lambda m, i: [m(*i)[0]]
+            self.j_fwd = lambda f, v, i, train: [
+                np.transpose(_first(f(v, *i, train=train)), (0, 2, 1))]
+        elif name == "image_reconstructor":
+            self.ref = load_reference_model(
+                "model_zoo/image_reconstruction/reconstructor.py")
+            self.model = get_model("image_reconstructor")
+            noise = rng.randn(2, 3, points).astype(np.float32)
+            img = rng.rand(2, 3, 64, 64).astype(np.float32)
+            self.t_in = (torch.from_numpy(noise), torch.from_numpy(img))
+            self.j_in = (jnp.asarray(np.transpose(noise, (0, 2, 1))),
+                         jnp.asarray(np.transpose(img, (0, 2, 3, 1))))
+            self.t_fwd = lambda m, i: [m(*i)[0][:, :, 0]]
+            self.j_fwd = lambda f, v, i, train: [
+                np.transpose(_first(f(v, *i, train=train)), (0, 2, 1))]
+        else:
+            raise KeyError(name)
+
+        self.ref.eval()
+        sd = {k: v.detach().numpy() for k, v in self.ref.state_dict().items()}
+        self.params, self.batch_stats = convert(name, sd)
+
+    def torch_param_names(self):
+        return [k for k, _ in self.ref.named_parameters()]
+
+    def grad_tree(self):
+        """torch grads mapped through the converter into the flax layout."""
+        from tools.convert_torch_checkpoint import convert
+        sd = self.ref.state_dict()
+        grad_sd = {}
+        params = dict(self.ref.named_parameters())
+        for k, v in sd.items():
+            if k in params and params[k].grad is not None:
+                grad_sd[k] = params[k].grad.detach().numpy()
+            elif k in params:
+                grad_sd[k] = np.zeros_like(v.detach().numpy())
+            else:
+                grad_sd[k] = v.detach().numpy()  # running stats: ignored
+        gp, _ = convert(self.name, grad_sd)
+        return gp
+
+
+def _first(out):
+    """(output, stats) or ((output, stats), updates) -> output array."""
+    while isinstance(out, tuple):
+        out = out[0]
+    return np.asarray(out)
+
+
+def _projections(shapes, seed=123):
+    rng = np.random.RandomState(seed)
+    return [rng.randn(*s).astype(np.float32) for s in shapes]
+
+
+# --------------------------------------------------------------------------
+# checks
+# --------------------------------------------------------------------------
+
+def forward_rows(fam, report):
+    import torch
+    with torch.no_grad():
+        t_out = [o.detach().numpy() for o in fam.t_fwd(fam.ref, fam.t_in)]
+    j_out = fam.j_fwd(fam.model.apply,
+                      {"params": fam.params, "batch_stats": fam.batch_stats},
+                      fam.j_in, False)
+    lines = []
+    for i, (a, b) in enumerate(zip(t_out, j_out)):
+        b = np.asarray(b)
+        err = np.abs(a - b)
+        line = (f"| {fam.name} | out{i} {list(a.shape)} | "
+                f"{np.median(err):.2e} | {np.percentile(err, 99):.2e} | "
+                f"{err.max():.2e} | {_cosine(a, b):.6f} |")
+        print(line)
+        lines.append(line)
+    report += lines
+    return all(_cosine(a, np.asarray(b)) > 0.999
+               for a, b in zip(t_out, j_out))
+
+
+def grad_rows(fam, report):
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    t_out = fam.t_fwd(fam.ref, fam.t_in)
+    projs = _projections([tuple(o.shape) for o in t_out])
+    loss_t = sum((o * torch.from_numpy(p)).sum()
+                 for o, p in zip(t_out, projs))
+    fam.ref.zero_grad()
+    loss_t.backward()
+    g_torch = fam.grad_tree()
+
+    def loss_j(params):
+        outs = fam.j_fwd(fam.model.apply,
+                         {"params": params, "batch_stats": fam.batch_stats},
+                         fam.j_in, False)
+        return sum(jnp.sum(jnp.asarray(o) * p)
+                   for o, p in zip(outs, projs))
+
+    # j_fwd returns numpy for some families — rebuild a pure-jnp variant
+    def loss_j_pure(params):
+        variables = {"params": params, "batch_stats": fam.batch_stats}
+        out = fam.model.apply(variables, *fam.j_in, train=False)
+        o = out[0] if isinstance(out, tuple) else out
+        o = jnp.asarray(o)
+        if fam.name == "scanobject_classifier":
+            outs = [out[0], out[1][..., 0]]
+        elif fam.name in ("s3dis_segmenter_pad", "completion_inpainter",
+                          "image_reconstructor"):
+            outs = [jnp.transpose(o, (0, 2, 1))]
+        return sum(jnp.sum(a * p) for a, p in zip(outs, projs))
+
+    g_jax = jax.grad(loss_j_pure)(fam.params)
+
+    flat_t = jax.tree_util.tree_leaves_with_path(g_torch)
+    flat_j_map = dict(jax.tree_util.tree_leaves_with_path(g_jax))
+    flat_j_map = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(g_jax)}
+    cosines = []
+    worst = ("", 1.0)
+    for path, gt in flat_t:
+        key = jax.tree_util.keystr(path)
+        gj = flat_j_map.get(key)
+        if gj is None:
+            continue
+        gt = np.asarray(gt)
+        gj = np.asarray(gj)
+        if np.linalg.norm(gt) < 1e-12 and np.linalg.norm(gj) < 1e-12:
+            continue  # untouched params (e.g. unused heads) on both sides
+        c = _cosine(gt, gj)
+        cosines.append(c)
+        if c < worst[1]:
+            worst = (key, c)
+    gc = _cosine(
+        np.concatenate([np.asarray(g).ravel() for _, g in flat_t]),
+        np.concatenate([np.asarray(flat_j_map[jax.tree_util.keystr(p)])
+                        .ravel() for p, _ in flat_t
+                        if jax.tree_util.keystr(p) in flat_j_map]))
+    frac = float(np.mean([c > 0.999 for c in cosines]))
+    line = (f"| {fam.name} | {len(cosines)} | {gc:.6f} | "
+            f"{np.median(cosines):.6f} | {worst[1]:.4f} {worst[0][:40]} | "
+            f"{frac * 100:.1f}% |")
+    print(line)
+    report.append(line)
+    return gc > 0.999 and np.median(cosines) > 0.999
+
+
+def trajectory_rows(points, report):
+    """10 Adam steps (lr 1e-3) on the classifier pseudo-loss in both
+    frameworks; compare full parameter vectors along the way."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tools.convert_torch_checkpoint import convert
+
+    fam = Family("scanobject_classifier", points)
+    projs = None
+
+    opt_t = torch.optim.Adam(fam.ref.parameters(), lr=1e-3)
+
+    tx = optax.adam(1e-3)
+    params = fam.params
+    opt_state = tx.init(params)
+
+    def loss_j(params):
+        out = fam.model.apply(
+            {"params": params, "batch_stats": fam.batch_stats},
+            *fam.j_in, train=False)
+        outs = [out[0], out[1][..., 0]]
+        return sum(jnp.sum(a * p) for a, p in zip(outs, projs))
+
+    grad_fn = jax.jit(jax.grad(loss_j))
+
+    ok = True
+    for step in range(1, 11):
+        t_out = fam.t_fwd(fam.ref, fam.t_in)
+        if projs is None:
+            projs = _projections([tuple(o.shape) for o in t_out])
+        loss_t = sum((o * torch.from_numpy(p)).sum()
+                     for o, p in zip(t_out, projs))
+        opt_t.zero_grad()
+        loss_t.backward()
+        opt_t.step()
+
+        g = grad_fn(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        if step in (1, 5, 10):
+            sd = {k: v.detach().numpy()
+                  for k, v in fam.ref.state_dict().items()}
+            p_t, _ = convert("scanobject_classifier", sd)
+            vt = np.concatenate([np.asarray(x).ravel() for x in
+                                 jax.tree_util.tree_leaves(p_t)])
+            vj = np.concatenate([np.asarray(x).ravel() for x in
+                                 jax.tree_util.tree_leaves(params)])
+            c = _cosine(vt, vj)
+            err = float(np.abs(vt - vj).max())
+            line = f"| {step} | {c:.6f} | {err:.2e} |"
+            print(line)
+            report.append(line)
+            ok = ok and c > 0.999
+    return ok
+
+
+def train_bn_rows(points, report):
+    """One train-mode forward (dropout off): outputs must match and the
+    updated BatchNorm running statistics must match."""
+    import torch
+    import jax
+    from tools.convert_torch_checkpoint import convert
+
+    fam = Family("scanobject_classifier", points)
+    zero_dropout = disable_dropout_everywhere()
+    zero_dropout(fam.ref)
+    fam.ref.train()
+    with torch.no_grad():
+        t_out = [o.detach().numpy() for o in fam.t_fwd(fam.ref, fam.t_in)]
+    sd = {k: v.detach().numpy() for k, v in fam.ref.state_dict().items()}
+    _, stats_t = convert("scanobject_classifier", sd)
+
+    out, updates = fam.model.apply(
+        {"params": fam.params, "batch_stats": fam.batch_stats},
+        *fam.j_in, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)})
+    j_out = [np.asarray(out[0]), np.asarray(out[1][..., 0])]
+    stats_j = updates["batch_stats"]
+
+    ok = True
+    for i, (a, b) in enumerate(zip(t_out, j_out)):
+        c = _cosine(a, b)
+        line = (f"| train-mode out{i} | {np.abs(a - b).max():.2e} | "
+                f"{c:.6f} |")
+        print(line)
+        report.append(line)
+        ok = ok and c > 0.999
+
+    vt = np.concatenate([np.asarray(x).ravel() for x in
+                         jax.tree_util.tree_leaves(stats_t)])
+    vj = np.concatenate([np.asarray(x).ravel() for x in
+                         jax.tree_util.tree_leaves(stats_j)])
+    c = _cosine(vt, vj)
+    line = (f"| updated BN running stats | {np.abs(vt - vj).max():.2e} | "
+            f"{c:.6f} |")
+    print(line)
+    report.append(line)
+    return ok and c > 0.999
+
+
+FAMILIES = ["scanobject_classifier", "s3dis_segmenter_pad",
+            "completion_inpainter", "image_reconstructor"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=128)
+    ap.add_argument("--families", default="all")
+    ap.add_argument("--skip-trajectory", action="store_true")
+    ap.add_argument("--append-report", default=None)
+    args = ap.parse_args()
+
+    install_stubs()
+    install_torchvision_stub()
+
+    fams = FAMILIES if args.families == "all" else args.families.split(",")
+
+    report = ["", "## Forward parity: inpainter / reconstructor "
+              "(+ re-run of all four)", "",
+              f"points={args.points}, eval mode, random converted weights.",
+              "",
+              "| model | output | p50 err | p99 err | max err | cosine |",
+              "|---|---|---|---|---|---|"]
+    ok = True
+    fam_objs = {}
+    for name in fams:
+        fam_objs[name] = Family(name, args.points)
+        ok &= forward_rows(fam_objs[name], report)
+
+    report += ["", "## Gradient parity (torch autograd vs jax.grad)", "",
+               "Same inputs, same converted weights, same scalar "
+               "pseudo-loss (fixed random projection of every output); "
+               "torch grads mapped through the converter (linear, so valid "
+               "for grads).",
+               "",
+               "| model | #params compared | global cosine | median cosine "
+               "| worst | frac>0.999 |",
+               "|---|---|---|---|---|---|"]
+    for name in fams:
+        ok &= grad_rows(fam_objs[name], report)
+
+    if not args.skip_trajectory:
+        report += ["", "## 10-step Adam trajectory A/B (classifier, "
+                   "lr 1e-3)", "",
+                   "| step | param cosine | max |param err| |",
+                   "|---|---|---|"]
+        ok &= trajectory_rows(args.points, report)
+
+        report += ["", "## Train-mode BatchNorm (dropout forced off)", "",
+                   "| check | max err | cosine |", "|---|---|---|"]
+        ok &= train_bn_rows(args.points, report)
+
+    status = "PASS" if ok else "FAIL"
+    print(f"\n{status}")
+    if args.append_report:
+        with open(args.append_report, "a") as f:
+            f.write("\n".join(report) + f"\n\n**{status}**\n")
+        print(f"appended to {args.append_report}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -37,7 +37,8 @@ def main():
     trainer = Trainer(model, cfg, args.exp_name, loss_fn,
                       sample_args=(noise, jax.numpy.asarray(sample["image"])),
                       config_path=args.config)
-    trainer.fit(train_loader, val_loader, max_steps=args.steps)
+    trainer.fit(train_loader, val_loader, max_steps=args.steps,
+                mesh_hook=reconstruction.make_mesh_hook())
 
 
 if __name__ == "__main__":

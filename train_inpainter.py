@@ -45,7 +45,10 @@ def main():
     trainer = Trainer(model, cfg, args.exp_name, loss_fn,
                       sample_args=(noise, parts), eval_fn=eval_fn,
                       config_path=args.config)
-    trainer.fit(train_loader, val_loader, max_steps=args.steps)
+    # TB point-cloud summaries of recon/gt/partial during training
+    # (train_inpainter.py:236-243)
+    trainer.fit(train_loader, val_loader, max_steps=args.steps,
+                mesh_hook=completion.make_mesh_hook())
 
 
 if __name__ == "__main__":
