@@ -82,10 +82,36 @@ def bench_splat_slice(batch=8, points=2048, heads=16, feat=8, size=32):
     return batch * points * heads / dt / 1e6, dt
 
 
+def bench_reconstructor_inference(batch=8, points=8192, im=128):
+    """Image->cloud reconstructor forward (ResNet50 + AdaIN decoder) with
+    the bf16 MXU policy — the model family that benefits from it most."""
+    import jax
+    from cloud_transformers_tpu.models import get_model
+    from cloud_transformers_tpu.nn.precision import set_default_mxu_dtype
+
+    set_default_mxu_dtype("bfloat16")
+    try:
+        model = get_model("image_reconstructor")
+        noise = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3))
+        img = jax.random.uniform(jax.random.PRNGKey(1), (batch, im, im, 3))
+        variables = jax.jit(
+            lambda: model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)},
+                               noise, img, train=False))()
+        fwd = jax.jit(lambda v, n, i: model.apply(v, n, i, train=False)[0])
+        dt = measure(fwd, variables, noise, img, iters=10)
+    finally:
+        set_default_mxu_dtype(None)
+    return dt
+
+
 def main():
     t_start = time.time()
     clouds_per_sec, dt_cls = bench_classifier_inference()
     mpts, dt_ss = bench_splat_slice()
+    # B=32 scaling point (round-1 anomaly check: must scale ~linearly)
+    mpts32, dt_ss32 = bench_splat_slice(batch=32)
+    dt_rec = bench_reconstructor_inference()
 
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
@@ -104,8 +130,11 @@ def main():
         "unit": "clouds/sec",
         "vs_baseline": round(vs, 3),
         "splat_slice_mpoints_per_sec": round(mpts, 1),
+        "splat_slice_mpoints_per_sec_b32": round(mpts32, 1),
         "classifier_ms_per_batch8": round(dt_cls * 1e3, 3),
         "splat_slice_ms": round(dt_ss * 1e3, 3),
+        "splat_slice_b32_ms": round(dt_ss32 * 1e3, 3),
+        "reconstructor_bf16_ms_per_batch8": round(dt_rec * 1e3, 3),
         "bench_wall_sec": round(time.time() - t_start, 1),
     }))
 

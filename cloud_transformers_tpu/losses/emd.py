@@ -126,6 +126,45 @@ def _auction_round(x1, x2, eps, chunk_size, state, last):
 
 
 @partial(jax.jit, static_argnames=("iters", "chunk_size"))
+def emd_auction_with_rounds(xyz1, xyz2, eps=0.005, iters=50,
+                            chunk_size=2048):
+    """``emd_auction`` that also reports the auction rounds actually used
+    (the while_loop exits early once every point is assigned) — the
+    instrumentation behind tools/emd_protocol_cost.py."""
+    assert xyz1.shape == xyz2.shape, "EMD requires equal-size clouds"
+    b, n, _ = xyz1.shape
+    x1 = jax.lax.stop_gradient(xyz1.astype(jnp.float32))
+    x2 = jax.lax.stop_gradient(xyz2.astype(jnp.float32))
+
+    state = (jnp.full((b, n), -1, jnp.int32),
+             jnp.full((b, n), -1, jnp.int32),
+             jnp.zeros((b, n), jnp.float32))
+
+    rounds = jnp.int32(0)
+    if iters > 1:
+        # while_loop with a convergence predicate: once every point is
+        # assigned no bid can change the state, so exit early — the
+        # eval protocol's 3000-round budget (train_inpainter.py:267-269)
+        # then costs only as many rounds as the auction actually needs.
+        def cond(carry):
+            i, s = carry
+            return (i < iters - 1) & jnp.any(s[0] < 0)
+
+        def body(carry):
+            i, s = carry
+            return i + 1, _auction_round(x1, x2, eps, chunk_size, s,
+                                         last=False)
+
+        rounds, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    state = _auction_round(x1, x2, eps, chunk_size, state, last=True)
+    assignment = state[0]
+
+    matched = jnp.take_along_axis(x2, assignment[..., None], axis=1)
+    dist = jnp.sum((xyz1 - jax.lax.stop_gradient(matched)) ** 2, axis=-1)
+    return dist, assignment, rounds + 1
+
+
+@partial(jax.jit, static_argnames=("iters", "chunk_size"))
 def emd_auction(xyz1, xyz2, eps=0.005, iters=50, chunk_size=2048):
     """Auction-assignment EMD.
 
@@ -141,35 +180,8 @@ def emd_auction(xyz1, xyz2, eps=0.005, iters=50, chunk_size=2048):
         xyz1 through the fixed assignment).
       assignment: [B, N] int32 matched index into xyz2.
     """
-    assert xyz1.shape == xyz2.shape, "EMD requires equal-size clouds"
-    b, n, _ = xyz1.shape
-    x1 = jax.lax.stop_gradient(xyz1.astype(jnp.float32))
-    x2 = jax.lax.stop_gradient(xyz2.astype(jnp.float32))
-
-    state = (jnp.full((b, n), -1, jnp.int32),
-             jnp.full((b, n), -1, jnp.int32),
-             jnp.zeros((b, n), jnp.float32))
-
-    if iters > 1:
-        # while_loop with a convergence predicate: once every point is
-        # assigned no bid can change the state, so exit early — the
-        # eval protocol's 3000-round budget (train_inpainter.py:267-269)
-        # then costs only as many rounds as the auction actually needs.
-        def cond(carry):
-            i, s = carry
-            return (i < iters - 1) & jnp.any(s[0] < 0)
-
-        def body(carry):
-            i, s = carry
-            return i + 1, _auction_round(x1, x2, eps, chunk_size, s,
-                                         last=False)
-
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-    state = _auction_round(x1, x2, eps, chunk_size, state, last=True)
-    assignment = state[0]
-
-    matched = jnp.take_along_axis(x2, assignment[..., None], axis=1)
-    dist = jnp.sum((xyz1 - jax.lax.stop_gradient(matched)) ** 2, axis=-1)
+    dist, assignment, _ = emd_auction_with_rounds(xyz1, xyz2, eps, iters,
+                                                  chunk_size)
     return dist, assignment
 
 

@@ -49,9 +49,13 @@ _DUAL_LIMIT = 2 * 1024 * 1024
 def _pick_tile(k, interpret):
     if interpret:
         return 8
-    # largest tile whose zero-padding waste stays small relative to k
-    # (a flat 128 would pad K=129 to 256 — ~2x wasted kernel work)
-    for t in (128, 64, 32, 16, 8):
+    # Runtime is tile-size-INSENSITIVE (measured on v5e at the bench shape:
+    # 13.4-13.6 cyc/pt for T in {16, 32, 64, 128}) but compile time scales
+    # with the unrolled per-tile body (T=128 compiled splat in ~860 s,
+    # T<=64 in ~2 s), so prefer moderate tiles; T=64 also avoids a ~20%
+    # slice regression seen at T=32.  The loop below only avoids
+    # zero-padding waste for tiny K.
+    for t in (64, 32, 16, 8):
         if -(-k // t) * t - k <= max(k // 8, 8):
             return t
     return 8
@@ -74,6 +78,13 @@ def _window_of(lanes, lane_offs):
     return window, window != lanes
 
 
+# A narrower per-point fast path ([*, 128] RMW when the point's vertex
+# lanes fit one aligned block, ~2/3 of points on a 32^3 grid) was measured
+# and REJECTED: the per-point scalar branch (pl.when) breaks the unrolled
+# VLIW schedule — splat went 13.4 -> 91 cyc/pt (7x slower).  Branchless
+# [*, 256] RMWs for every point are the floor of this formulation.
+
+
 def _build_masks(lane_iota, rel, w_lo, w_hi, lane_offs):
     """Per-point lane one-hot masks combined with vertex weights.
 
@@ -90,62 +101,90 @@ def _build_masks(lane_iota, rel, w_lo, w_hi, lane_offs):
     return m_lo, m_hi, hits
 
 
-# Above this many points per row, the per-point arrays are PACKED into one
-# VMEM buffer: tiles pad the last dim to 128 lanes, so four separate small
-# arrays cost the padding four times (>32 MB VMEM at K=16384).  Below it,
-# separate arrays win ~1-2 ms/call (the packed layout pays lane-extract
-# shuffles per tile).
+# Point-data operand layouts, chosen by what the data feeds:
+#
+# * mask inputs (lane0 + 8 vertex weights) keep points in the SUBLANE dim —
+#   the per-tile mask build compares a [T, 1] column against the [T, W]
+#   lane iota.  Below _PACK_MIN_K they ride as three separate arrays (the
+#   direct [T, C] reads are cheapest); above it they pack into one
+#   [R, K, 9] buffer so the 128-lane padding is paid once, not three times
+#   (4 separate arrays exceed VMEM at K >= 8192) — per-tile lane extracts
+#   then cost ~1-2 ms/call, acceptable only at large K.
+#
+# * VALUES (and cotangents) go PRE-TILED as [R, K/T, F_pad, T]: the outer
+#   product per point wants features in sublanes / the point in lanes, and
+#   doing the [T, F] -> [F, T] transpose inside the kernel measured ~7 cyc
+#   per point on v5e — a third of the whole splat.  XLA does the transpose
+#   once on the way in (cheap, bandwidth-bound), and the kernel reads tile
+#   t as a free [F_pad, T] leading-dim index.
+
 _PACK_MIN_K = 4096
 
 
-def _pack_payload(lane0, w_lo, w_hi, values=None):
-    """One VMEM payload [R, K, 9(+F)]: [lane0, w_lo(4), w_hi(4)(, values)]."""
-    parts = [lane0.astype(jnp.float32)[..., None], w_lo, w_hi]
-    if values is not None:
-        parts.append(values)
-    return jnp.concatenate(parts, axis=-1)
+def _pack_payload(lane0, w_lo, w_hi):
+    """[R, K, 9]: [lane0, w_lo(4), w_hi(4)] — the mask-build payload."""
+    return jnp.concatenate(
+        [lane0.astype(jnp.float32)[..., None], w_lo, w_hi], axis=-1)
 
 
-def _point_args(lane0, w_lo, w_hi, values, packed):
-    """Point-data pallas operands for the chosen layout."""
-    if packed:
-        return (_pack_payload(lane0, w_lo, w_hi, values),)
+def _tile_values(values, tile):
+    """[R, K, F_pad] -> [R, K/tile, F_pad, tile] (features into sublanes)."""
+    r, k, f = values.shape
+    return values.reshape(r, k // tile, tile, f).transpose(0, 1, 3, 2)
+
+
+def _point_args(lane0, w_lo, w_hi, values, tile):
+    """Point-data pallas operands: mask payload (+ tiled values)."""
+    k = lane0.shape[1]
+    if k >= _PACK_MIN_K:
+        pay = (_pack_payload(lane0, w_lo, w_hi),)
+    else:
+        pay = (lane0[..., None], w_lo, w_hi)
     if values is None:
-        return (lane0[..., None], w_lo, w_hi)
-    return (lane0[..., None], w_lo, w_hi, values)
+        return pay
+    return pay + (_tile_values(values, tile),)
 
 
-def _point_specs(k, f_pad, packed, with_values=True):
+def _n_mask_refs(k):
+    return 1 if k >= _PACK_MIN_K else 3
+
+
+def _point_specs(k, f_pad, tile, with_values=True):
     vm = lambda shape: pl.BlockSpec(shape, lambda bh: (bh, 0, 0),
                                     memory_space=pltpu.VMEM)
-    if packed:
-        return [vm((1, k, (9 + f_pad) if with_values else 9))]
-    specs = [vm((1, k, 1)), vm((1, k, 4)), vm((1, k, 4))]
+    if k >= _PACK_MIN_K:
+        specs = [vm((1, k, 9))]
+    else:
+        specs = [vm((1, k, 1)), vm((1, k, 4)), vm((1, k, 4))]
     if with_values:
-        specs.append(vm((1, k, f_pad)))
+        specs.append(pl.BlockSpec((1, k // tile, f_pad, tile),
+                                  lambda bh: (bh, 0, 0, 0),
+                                  memory_space=pltpu.VMEM))
     return specs
 
 
-def _load_point_tile(data_refs, packed, p0, T, f_pad=0):
-    """-> (lane [T,1] int32, w_lo [T,4], w_hi [T,4], vt [F,T] or None)."""
-    if packed:
+def _load_point_tile(data_refs, t, p0, T, f_pad=0):
+    """-> (lane [T,1] int32, w_lo [T,4], w_hi [T,4], vt [F_pad,T] or None).
+
+    ``t`` is the tile index (values ref leading-dim), ``p0 = t*T``."""
+    n_extra = 1 if f_pad else 0
+    if len(data_refs) - n_extra == 1:
         pay = data_refs[0][0, pl.ds(p0, T), :]
         lane_t = pay[:, 0:1].astype(jnp.int32)
         w_lo = pay[:, 1:5]
         w_hi = pay[:, 5:9]
-        vt = pay[:, 9:9 + f_pad].T if f_pad else None
-        return lane_t, w_lo, w_hi, vt
-    lane_t = data_refs[0][0, pl.ds(p0, T), :]
-    w_lo = data_refs[1][0, pl.ds(p0, T), :]
-    w_hi = data_refs[2][0, pl.ds(p0, T), :]
-    vt = data_refs[3][0, pl.ds(p0, T), :].T if f_pad else None
+    else:
+        lane_t = data_refs[0][0, pl.ds(p0, T), :]
+        w_lo = data_refs[1][0, pl.ds(p0, T), :]
+        w_hi = data_refs[2][0, pl.ds(p0, T), :]
+    vt = data_refs[-1][0, t] if f_pad else None
     return lane_t, w_lo, w_hi, vt
 
 
 def _splat_kernel(x0_ref, lane0_ref, *refs,
                   n_points, f_pad, lanes, lane_offs, op, tile, dual,
-                  packed):
-    n_data = 1 if packed else 4
+                  n_mask):
+    n_data = n_mask + 1
     data_refs = refs[:n_data]
     out_ref = refs[n_data]
     scratch = refs[n_data + 1:]
@@ -161,7 +200,7 @@ def _splat_kernel(x0_ref, lane0_ref, *refs,
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
         lane_t, wlo_t, whi_t, vt = _load_point_tile(
-            data_refs, packed, p0, T, f_pad)
+            data_refs, t, p0, T, f_pad)
         if windowed:
             rel = lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
         else:
@@ -223,7 +262,6 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
     tile = _pick_tile(k, interpret)
     k, x0, lane0, w_lo, w_hi, values = _pad_points(
         tile, k, x0, lane0, w_lo, w_hi, values)
-    packed = k >= _PACK_MIN_K
 
     if len(sizes) == 2:
         lane_offs = (0, 1)
@@ -235,7 +273,8 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
     dual = grid_bytes <= _DUAL_LIMIT
     kernel = functools.partial(
         _splat_kernel, n_points=k, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, op=op, tile=tile, dual=dual, packed=packed)
+        lane_offs=lane_offs, op=op, tile=tile, dual=dual,
+        n_mask=_n_mask_refs(k))
 
     out = pl.pallas_call(
         kernel,
@@ -245,7 +284,7 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.SMEM),
-        ] + _point_specs(k, f_pad, packed),
+        ] + _point_specs(k, f_pad, tile),
         out_specs=pl.BlockSpec((1, x_dim * f_pad, lanes),
                                lambda bh: (bh, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -257,7 +296,7 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x0[:, None, :], lane0[:, None, :],
-      *_point_args(lane0, w_lo, w_hi, values, packed))
+      *_point_args(lane0, w_lo, w_hi, values, tile))
 
     # [R, X*F_pad, lanes] -> [R, G, F]
     out = out.reshape(r, x_dim, f_pad, lanes)[:, :, :feat, :lane_extent]
@@ -316,8 +355,8 @@ def vertex_decomposition(keys_scaled, sizes):
 # ---------------------------------------------------------------------------
 
 def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
-                  lane_offs, tile, packed):
-    n_data = 1 if packed else 3
+                  lane_offs, tile, n_mask):
+    n_data = n_mask
     data_refs = refs[:n_data]
     grid_ref = refs[n_data]
     out_ref = refs[n_data + 1]
@@ -328,7 +367,7 @@ def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
 
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
-        lane_t, wlo_t, whi_t, _ = _load_point_tile(data_refs, packed, p0, T)
+        lane_t, wlo_t, whi_t, _ = _load_point_tile(data_refs, t, p0, T)
         rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
                if windowed else lane_t)
         m_lo, m_hi, _ = _build_masks(lane_iota, rel, wlo_t, whi_t, lane_offs)
@@ -346,7 +385,9 @@ def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
                 cur = grid_ref[0, rows, :]
             prod = (cur[:f_pad] * m_lo[j:j + 1, :]
                     + cur[f_pad:] * m_hi[j:j + 1, :])
-            # column j of the tile's output, assembled in scratch
+            # column j of the tile's output, assembled in scratch (the MXU
+            # dot-with-ones lane reduce measured SLOWER here — unlike in
+            # _splat_bwd_kernel — so this stays a VPU reduction)
             cols_ref[:, j:j + 1] = jnp.sum(prod, axis=1, keepdims=True)
         out_ref[0, pl.ds(p0, T), :] = cols_ref[:].T
         return 0
@@ -367,7 +408,6 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
     tile = _pick_tile(k_orig, interpret)
     k_pad, x0, lane0, w_lo, w_hi = _pad_points(
         tile, k_orig, x0, lane0, w_lo, w_hi)
-    packed = k_pad >= _PACK_MIN_K
 
     # [R, G, F] -> kernel layout [R, X*F_pad, lanes]
     g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
@@ -383,7 +423,7 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
 
     kernel = functools.partial(
         _slice_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile, packed=packed)
+        lane_offs=lane_offs, tile=tile, n_mask=_n_mask_refs(k_pad))
     out = pl.pallas_call(
         kernel,
         grid=(r,),
@@ -392,7 +432,7 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.SMEM),
-        ] + _point_specs(k_pad, f_pad, packed, with_values=False) + [
+        ] + _point_specs(k_pad, f_pad, tile, with_values=False) + [
             pl.BlockSpec((1, x_dim * f_pad, lanes), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -404,7 +444,7 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x0[:, None, :], lane0[:, None, :],
-      *_point_args(lane0, w_lo, w_hi, None, packed), gk)
+      *_point_args(lane0, w_lo, w_hi, None, tile), gk)
     return out[:, :k_orig, :feat]
 
 
@@ -413,19 +453,20 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
 # ---------------------------------------------------------------------------
 
 def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
-                      n_points, f_pad, lanes, lane_offs, tile, packed):
-    n_data = 1 if packed else 4
+                      n_points, f_pad, lanes, lane_offs, tile, n_mask):
+    n_data = n_mask + 1
     data_refs = refs[:n_data]
     (grid_ref, g_ref, dwlo_ref, dwhi_ref, dval_ref,
      tlo_s, thi_s, dval_s) = refs[n_data:]
     window, windowed = _window_of(lanes, lane_offs)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
+    _ones_w = jnp.ones((window, 1), jnp.float32)
 
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
         lane_t, wlo_t, whi_t, vt = _load_point_tile(
-            data_refs, packed, p0, T, f_pad)
+            data_refs, t, p0, T, f_pad)
         rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
                if windowed else lane_t)
         m_lo, m_hi, hits = _build_masks(lane_iota, rel, wlo_t, whi_t,
@@ -458,10 +499,15 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
             # 8 per-point lane reductions collapse into 8 per-tile ones)
             tlo_s[j:j + 1, :] = jnp.sum(vcol * dcon_lo, axis=0, keepdims=True)
             thi_s[j:j + 1, :] = jnp.sum(vcol * dcon_hi, axis=0, keepdims=True)
-            # d_values: sum_s w_s * dcon at the vertex lanes
-            dval_s[:, j:j + 1] = jnp.sum(
-                dcon_lo * m_lo[j:j + 1, :] + dcon_hi * m_hi[j:j + 1, :],
-                axis=1, keepdims=True)
+            # d_values: sum_s w_s * dcon at the vertex lanes.  The lane
+            # reduction runs as an MXU dot against a ones vector — the VPU
+            # cross-lane jnp.sum formulation measured 35 cyc/pt here
+            # (register pressure + shuffle chain), the dot 10 cyc/pt.
+            prod = (dcon_lo * m_lo[j:j + 1, :]
+                    + dcon_hi * m_hi[j:j + 1, :])
+            dval_s[:, j:j + 1] = jax.lax.dot_general(
+                prod, _ones_w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         # d_w per vertex: dw[j, jj] = sum_l tvec[j, l] * hit_jj[j, l]
         t_lo = tlo_s[:]
         t_hi = thi_s[:]
@@ -495,7 +541,6 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
     tile = _pick_tile(k_orig, interpret)
     k_pad, x0, lane0, w_lo, w_hi, values = _pad_points(
         tile, k_orig, x0, lane0, w_lo, w_hi, values)
-    packed = k_pad >= _PACK_MIN_K
 
     def to_kernel_layout(a):
         a4 = a.reshape(r, x_dim, lane_extent, a.shape[-1])
@@ -515,7 +560,7 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
 
     kernel = functools.partial(
         _splat_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile, packed=packed)
+        lane_offs=lane_offs, tile=tile, n_mask=_n_mask_refs(k_pad))
     spec_k = lambda shape: pl.BlockSpec(shape, lambda bh: (bh,) + (0,) * (
         len(shape) - 1), memory_space=pltpu.VMEM)
     dwlo, dwhi, dval = pl.pallas_call(
@@ -526,7 +571,7 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.SMEM),
-        ] + _point_specs(k_pad, f_pad, packed) + [
+        ] + _point_specs(k_pad, f_pad, tile) + [
             spec_k((1, x_dim * f_pad, lanes)),
             spec_k((1, x_dim * f_pad, lanes)),
         ],
@@ -542,7 +587,7 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x0[:, None, :], lane0[:, None, :],
-      *_point_args(lane0, w_lo, w_hi, values, packed), grid_k, g_k)
+      *_point_args(lane0, w_lo, w_hi, values, tile), grid_k, g_k)
     return dwlo[:, :k_orig, :], dwhi[:, :k_orig, :], dval[:, :k_orig, :feat]
 
 
@@ -551,8 +596,8 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
 # ---------------------------------------------------------------------------
 
 def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
-                      lane_offs, tile, dual, packed):
-    n_data = 1 if packed else 4
+                      lane_offs, tile, dual, n_mask):
+    n_data = n_mask + 1
     data_refs = refs[:n_data]
     grid_ref = refs[n_data]
     dgrid_ref, dwlo_ref, dwhi_ref = refs[n_data + 1:n_data + 4]
@@ -569,7 +614,7 @@ def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
         lane_t, wlo_t, whi_t, gt = _load_point_tile(
-            data_refs, packed, p0, T, f_pad)          # gt = cotangents [F, T]
+            data_refs, t, p0, T, f_pad)               # gt = cotangents [F, T]
         rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
                if windowed else lane_t)
         m_lo, m_hi, hits = _build_masks(lane_iota, rel, wlo_t, whi_t,
@@ -580,9 +625,9 @@ def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
             x0 = x0_ref[0, 0, i]
             gcol = gt[:, j:j + 1]                     # [F_pad, 1]
             rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
+            tgt = alt_ref if (dual and (j & 1)) else dgrid_ref
             upd = jnp.concatenate(
                 [gcol * m_lo[j:j + 1, :], gcol * m_hi[j:j + 1, :]], axis=0)
-            tgt = alt_ref if (dual and (j & 1)) else dgrid_ref
             if windowed:
                 lane0 = lane0_ref[0, 0, i]
                 win = pl.multiple_of(
@@ -633,7 +678,6 @@ def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
     tile = _pick_tile(k_orig, interpret)
     k_pad, x0, lane0, w_lo, w_hi, g_pts = _pad_points(
         tile, k_orig, x0, lane0, w_lo, w_hi, g_pts)
-    packed = k_pad >= _PACK_MIN_K
 
     g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
     g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, lanes - lane_extent),
@@ -651,7 +695,8 @@ def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
 
     kernel = functools.partial(
         _slice_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile, dual=dual, packed=packed)
+        lane_offs=lane_offs, tile=tile, dual=dual,
+        n_mask=_n_mask_refs(k_pad))
     scratch = [pltpu.VMEM((tile, window), jnp.float32),
                pltpu.VMEM((tile, window), jnp.float32)]
     if dual:
@@ -664,7 +709,7 @@ def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k_pad), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.SMEM),
-        ] + _point_specs(k_pad, f_pad, packed) + [
+        ] + _point_specs(k_pad, f_pad, tile) + [
             pl.BlockSpec((1, x_dim * f_pad, lanes), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -684,7 +729,7 @@ def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x0[:, None, :], lane0[:, None, :],
-      *_point_args(lane0, w_lo, w_hi, g_pts, packed), gk)
+      *_point_args(lane0, w_lo, w_hi, g_pts, tile), gk)
 
     dg = dgrid.reshape(r, x_dim, f_pad, lanes)[:, :, :feat, :lane_extent]
     dg = dg.transpose(0, 1, 3, 2).reshape(r, x_dim * lane_extent, feat)

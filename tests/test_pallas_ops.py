@@ -156,20 +156,43 @@ class TestPortableImplToggle:
         np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
+    def test_windowed_lane_path_matches(self, rng):
+        """Grids with >= 512 lanes take the windowed-RMW kernel path, which
+        has a 128-wide fast branch (point's vertex span inside one aligned
+        lane block) and a 256-wide slow branch; random keys exercise both.
+        Oracle: the sorted segment reduction."""
+        import jax
+        b, p, h, f = 1, 96, 1, 4
+        sizes = (4, 32, 32)  # lanes = 1024 -> windowed
+        keys = jnp.asarray(rng.uniform(-1, 1, (b, p, h, 3)), jnp.float32)
+        vals = jnp.asarray(rng.randn(b, p, h * f), jnp.float32)
 
-class TestPackedPointLayout:
-    """K >= _PACK_MIN_K switches to the single packed VMEM payload; force it
-    at tiny K and check all four kernels against the unpacked results."""
+        def loss(v, k):
+            m = grid_mapping(k, sizes, 3)
+            g = ss.splat_max_mapping(m, v, sizes)
+            return jnp.sum(ss.slice_grid_mapping(m, g, sizes) ** 2)
 
-    @pytest.fixture()
-    def forced_pack(self):
-        import cloud_transformers_tpu.ops.pallas_splat as ps
-        old = ps._PACK_MIN_K
-        ps._PACK_MIN_K = 1
-        yield
-        ps._PACK_MIN_K = old
+        old = ss.PORTABLE_IMPL
+        try:
+            ss.PORTABLE_IMPL = "interpret"
+            v1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(vals, keys)
+            ss.PORTABLE_IMPL = "sorted"
+            v2, g2 = jax.value_and_grad(loss, argnums=(0, 1))(vals, keys)
+        finally:
+            ss.PORTABLE_IMPL = old
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                                   atol=1e-3)
 
-    def _data(self, sizes, feat, r=2, k=24):
+
+class TestTileInvariance:
+    """The tile size is a pure scheduling knob: all four kernels must
+    produce identical results for different tiles (exercises the tiled
+    values layout [R, K/T, F, T] and the payload packing)."""
+
+    def _data(self, sizes, feat, r=2, k=48):
         rng = np.random.RandomState(3)
         keys = jnp.asarray(
             rng.uniform(0, 0.999999, (r, k, len(sizes))).astype(np.float32)
@@ -179,43 +202,29 @@ class TestPackedPointLayout:
         values = jnp.asarray(rng.randn(r, k, feat).astype(np.float32))
         return x0, lane0, w_lo, w_hi, values
 
-    def test_packed_matches_unpacked(self, forced_pack):
+    def test_tiles_give_identical_results(self, monkeypatch):
         import cloud_transformers_tpu.ops.pallas_splat as ps
         sizes, feat = (8, 8, 8), 8
         x0, lane0, w_lo, w_hi, values = self._data(sizes, feat)
-        packed_grid = ps.pallas_splat(x0, lane0, w_lo, w_hi, values, sizes,
-                                      feat, interpret=True)
-        ps._PACK_MIN_K = 10 ** 9
-        ref_grid = ps.pallas_splat(x0, lane0, w_lo, w_hi, values, sizes,
-                                   feat, interpret=True)
-        ps._PACK_MIN_K = 1
-        np.testing.assert_allclose(np.asarray(packed_grid),
-                                   np.asarray(ref_grid), atol=1e-6)
-
-        sliced = ps.pallas_slice(x0, lane0, w_lo, w_hi, ref_grid, sizes,
-                                 feat, interpret=True)
-        ps._PACK_MIN_K = 10 ** 9
-        sliced_ref = ps.pallas_slice(x0, lane0, w_lo, w_hi, ref_grid, sizes,
-                                     feat, interpret=True)
-        ps._PACK_MIN_K = 1
-        np.testing.assert_allclose(np.asarray(sliced),
-                                   np.asarray(sliced_ref), atol=1e-6)
-
-        g = jnp.asarray(np.random.RandomState(5).randn(
-            *ref_grid.shape).astype(np.float32))
-        bwd = ps.pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, ref_grid,
-                                  g, sizes, feat, interpret=True)
         g_pts = jnp.asarray(np.random.RandomState(6).randn(
             x0.shape[0], x0.shape[1], feat).astype(np.float32))
-        sbwd = ps.pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, ref_grid,
-                                   sizes, feat, interpret=True)
-        ps._PACK_MIN_K = 10 ** 9
-        bwd_ref = ps.pallas_splat_bwd(x0, lane0, w_lo, w_hi, values,
-                                      ref_grid, g, sizes, feat,
-                                      interpret=True)
-        sbwd_ref = ps.pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts,
-                                       ref_grid, sizes, feat, interpret=True)
-        ps._PACK_MIN_K = 1
-        for a, b in list(zip(bwd, bwd_ref)) + list(zip(sbwd, sbwd_ref)):
+
+        results = []
+        for tile in (8, 16):
+            monkeypatch.setattr(ps, "_pick_tile",
+                                lambda k, interp, t=tile: t)
+            grid = ps.pallas_splat(x0, lane0, w_lo, w_hi, values, sizes,
+                                   feat, interpret=True)
+            sliced = ps.pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes,
+                                     feat, interpret=True)
+            g = jnp.asarray(np.random.RandomState(5).randn(
+                *grid.shape).astype(np.float32))
+            bwd = ps.pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid,
+                                      g, sizes, feat, interpret=True)
+            sbwd = ps.pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid,
+                                       sizes, feat, interpret=True)
+            results.append([grid, sliced, *bwd, *sbwd])
+
+        for a, b in zip(*results):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
