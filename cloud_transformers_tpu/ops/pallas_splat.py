@@ -15,9 +15,9 @@ becomes a lane-one-hot, combined into one [2F, L] outer-product update.
 Tuning (measured on v5e, R=128 K=2048 F=8, 32^3 grid):
 * 128-point tiles: the fori_loop/tile fixed costs dominated 8-point tiles
   (28 -> 65 Mpt/s);
-* alternating even/odd points between the output grid and a second scratch
-  grid (merged once at the end) breaks read-after-write chains between
-  consecutive dynamic RMWs (+10-20%);
+* rotating points over independent scratch-grid BANKS (merged once at the
+  end) breaks Mosaic's same-ref ordering of consecutive dynamic RMWs:
+  2 banks +10-20%, 4 banks a further ~7%; 8 banks regress (VMEM pressure);
 * keeping the two row blocks fused in a single concat'd [2F, W] RMW beats
   splitting into two [F, W] RMWs (fewer dynamic addresses);
 * bf16 in-kernel arithmetic measured *slower* than f32 (packing casts
@@ -42,8 +42,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# grids larger than this (bytes) skip the second scratch grid (VMEM budget)
-_DUAL_LIMIT = 2 * 1024 * 1024
+# scratch-grid bank budget: total accumulation-buffer bytes (output grid +
+# banks-1 scratches) the kernels may spend to break RMW ordering chains
+_BANK_LIMIT = 4 * 1024 * 1024
+
+# test/experiment override for the bank count
+_FORCE_BANKS = None
+
+
+def _pick_banks(grid_bytes):
+    """Accumulation targets rotate over this many independent VMEM refs;
+    Mosaic orders dynamic RMWs to the SAME ref conservatively, so separate
+    refs let consecutive points' updates overlap (see module docstring)."""
+    if _FORCE_BANKS is not None:
+        return _FORCE_BANKS
+    for banks in (4, 2):
+        if grid_bytes * banks <= _BANK_LIMIT:
+            return banks
+    return 1
 
 
 def _pick_tile(k, interpret):
@@ -182,16 +198,16 @@ def _load_point_tile(data_refs, t, p0, T, f_pad=0):
 
 
 def _splat_kernel(x0_ref, lane0_ref, *refs,
-                  n_points, f_pad, lanes, lane_offs, op, tile, dual,
+                  n_points, f_pad, lanes, lane_offs, op, tile, banks,
                   n_mask):
     n_data = n_mask + 1
     data_refs = refs[:n_data]
     out_ref = refs[n_data]
     scratch = refs[n_data + 1:]
     out_ref[:] = jnp.zeros_like(out_ref)
-    alt_ref = scratch[0] if dual else None
-    if dual:
-        alt_ref[:] = jnp.zeros_like(alt_ref)
+    tgts = (out_ref,) + tuple(scratch[:banks - 1])
+    for s in tgts[1:]:
+        s[:] = jnp.zeros_like(s)
     window, windowed = _window_of(lanes, lane_offs)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
@@ -214,7 +230,7 @@ def _splat_kernel(x0_ref, lane0_ref, *refs,
             upd = jnp.concatenate(
                 [vcol * m_lo[j:j + 1, :], vcol * m_hi[j:j + 1, :]], axis=0)
             rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
-            tgt = alt_ref if (dual and (j & 1)) else out_ref
+            tgt = tgts[j % banks]
             if windowed:
                 lane0 = lane0_ref[0, 0, i]
                 win = pl.multiple_of(
@@ -227,8 +243,11 @@ def _splat_kernel(x0_ref, lane0_ref, *refs,
         return 0
 
     jax.lax.fori_loop(0, n_points // T, tile_body, 0)
-    if dual:
-        out_ref[:] = comb(out_ref[:], alt_ref[:])
+    acc = out_ref[:]
+    for s in tgts[1:]:
+        acc = comb(acc, s[:])
+    if banks > 1:
+        out_ref[:] = acc
 
 
 @functools.partial(jax.jit,
@@ -270,10 +289,10 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
         lane_offs = (0, 1, z, z + 1)
 
     grid_bytes = x_dim * f_pad * lanes * 4
-    dual = grid_bytes <= _DUAL_LIMIT
+    banks = _pick_banks(grid_bytes)
     kernel = functools.partial(
         _splat_kernel, n_points=k, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, op=op, tile=tile, dual=dual,
+        lane_offs=lane_offs, op=op, tile=tile, banks=banks,
         n_mask=_n_mask_refs(k))
 
     out = pl.pallas_call(
@@ -290,8 +309,8 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, x_dim * f_pad, lanes),
                                        jnp.float32),
-        scratch_shapes=([pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32)]
-                        if dual else []),
+        scratch_shapes=[pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32)
+                        for _ in range(banks - 1)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -596,17 +615,17 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
 # ---------------------------------------------------------------------------
 
 def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
-                      lane_offs, tile, dual, n_mask):
+                      lane_offs, tile, banks, n_mask):
     n_data = n_mask + 1
     data_refs = refs[:n_data]
     grid_ref = refs[n_data]
     dgrid_ref, dwlo_ref, dwhi_ref = refs[n_data + 1:n_data + 4]
     scratch = refs[n_data + 4:]
     ulo_s, uhi_s = scratch[:2]
-    alt_ref = scratch[2] if dual else None
+    tgts = (dgrid_ref,) + tuple(scratch[2:2 + banks - 1])
     dgrid_ref[:] = jnp.zeros_like(dgrid_ref)
-    if dual:
-        alt_ref[:] = jnp.zeros_like(alt_ref)
+    for s in tgts[1:]:
+        s[:] = jnp.zeros_like(s)
     window, windowed = _window_of(lanes, lane_offs)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
@@ -625,7 +644,7 @@ def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
             x0 = x0_ref[0, 0, i]
             gcol = gt[:, j:j + 1]                     # [F_pad, 1]
             rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
-            tgt = alt_ref if (dual and (j & 1)) else dgrid_ref
+            tgt = tgts[j % banks]
             upd = jnp.concatenate(
                 [gcol * m_lo[j:j + 1, :], gcol * m_hi[j:j + 1, :]], axis=0)
             if windowed:
@@ -655,8 +674,11 @@ def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
         return 0
 
     jax.lax.fori_loop(0, n_points // T, tile_body, 0)
-    if dual:
-        dgrid_ref[:] = dgrid_ref[:] + alt_ref[:]
+    acc = dgrid_ref[:]
+    for s in tgts[1:]:
+        acc = acc + s[:]
+    if banks > 1:
+        dgrid_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "feat", "interpret"))
@@ -691,16 +713,16 @@ def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
         lane_offs = (0, 1, z, z + 1)
     window, _ = _window_of(lanes, lane_offs)
     grid_bytes = x_dim * f_pad * lanes * 4
-    dual = grid_bytes <= _DUAL_LIMIT
+    banks = _pick_banks(grid_bytes)
 
     kernel = functools.partial(
         _slice_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile, dual=dual,
+        lane_offs=lane_offs, tile=tile, banks=banks,
         n_mask=_n_mask_refs(k_pad))
     scratch = [pltpu.VMEM((tile, window), jnp.float32),
                pltpu.VMEM((tile, window), jnp.float32)]
-    if dual:
-        scratch.append(pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32))
+    scratch += [pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32)
+                for _ in range(banks - 1)]
     dgrid, dwlo, dwhi = pl.pallas_call(
         kernel,
         grid=(r,),
