@@ -101,6 +101,34 @@ def _window_of(lanes, lane_offs):
 # [*, 256] RMWs for every point are the floor of this formulation.
 
 
+# reduce-strategy experiment knobs: "vpu" = jnp.sum, "mxu" = fold the lane
+# dim to 128 then one dot-with-ones (pipelines on the MXU across points)
+_LANE_REDUCE = "mxu"
+_SUBLANE_REDUCE = "mxu"
+
+
+def _lane_reduce(prod):
+    """[S, W] -> [S, 1] sum over lanes."""
+    if _LANE_REDUCE == "vpu":
+        return jnp.sum(prod, axis=1, keepdims=True)
+    w = prod.shape[1]
+    while w > 128 and w % 256 == 0:
+        prod = prod[:, :w // 2] + prod[:, w // 2:]
+        w //= 2
+    return jax.lax.dot_general(
+        prod, jnp.ones((w, 1), jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _sublane_reduce(vcol, mat):
+    """[S, 1] x [S, W] -> [1, W]: sum_s vcol[s] * mat[s, :]."""
+    if _SUBLANE_REDUCE == "vpu":
+        return jnp.sum(vcol * mat, axis=0, keepdims=True)
+    return jax.lax.dot_general(
+        vcol, mat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _build_masks(lane_iota, rel, w_lo, w_hi, lane_offs):
     """Per-point lane one-hot masks combined with vertex weights.
 
@@ -404,10 +432,8 @@ def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
                 cur = grid_ref[0, rows, :]
             prod = (cur[:f_pad] * m_lo[j:j + 1, :]
                     + cur[f_pad:] * m_hi[j:j + 1, :])
-            # column j of the tile's output, assembled in scratch (the MXU
-            # dot-with-ones lane reduce measured SLOWER here — unlike in
-            # _splat_bwd_kernel — so this stays a VPU reduction)
-            cols_ref[:, j:j + 1] = jnp.sum(prod, axis=1, keepdims=True)
+            # column j of the tile's output, assembled in scratch
+            cols_ref[:, j:j + 1] = _lane_reduce(prod)
         out_ref[0, pl.ds(p0, T), :] = cols_ref[:].T
         return 0
 
@@ -516,17 +542,15 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
             # per-point rows of sum_f v[f]*dcon[f, :]; the per-vertex lane
             # extraction happens once per tile below (stacked over T points —
             # 8 per-point lane reductions collapse into 8 per-tile ones)
-            tlo_s[j:j + 1, :] = jnp.sum(vcol * dcon_lo, axis=0, keepdims=True)
-            thi_s[j:j + 1, :] = jnp.sum(vcol * dcon_hi, axis=0, keepdims=True)
+            tlo_s[j:j + 1, :] = _sublane_reduce(vcol, dcon_lo)
+            thi_s[j:j + 1, :] = _sublane_reduce(vcol, dcon_hi)
             # d_values: sum_s w_s * dcon at the vertex lanes.  The lane
             # reduction runs as an MXU dot against a ones vector — the VPU
             # cross-lane jnp.sum formulation measured 35 cyc/pt here
             # (register pressure + shuffle chain), the dot 10 cyc/pt.
             prod = (dcon_lo * m_lo[j:j + 1, :]
                     + dcon_hi * m_hi[j:j + 1, :])
-            dval_s[:, j:j + 1] = jax.lax.dot_general(
-                prod, _ones_w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            dval_s[:, j:j + 1] = _lane_reduce(prod)
         # d_w per vertex: dw[j, jj] = sum_l tvec[j, l] * hit_jj[j, l]
         t_lo = tlo_s[:]
         t_hi = thi_s[:]
@@ -658,10 +682,8 @@ def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
                 cur_g = grid_ref[0, rows, :]
                 tgt[0, rows, :] = tgt[0, rows, :] + upd
             # u[j, l] = sum_f grid[f, l] * g[j, f] per row block (for d_w)
-            ulo_s[j:j + 1, :] = jnp.sum(gcol * cur_g[:f_pad], axis=0,
-                                        keepdims=True)
-            uhi_s[j:j + 1, :] = jnp.sum(gcol * cur_g[f_pad:], axis=0,
-                                        keepdims=True)
+            ulo_s[j:j + 1, :] = _sublane_reduce(gcol, cur_g[:f_pad])
+            uhi_s[j:j + 1, :] = _sublane_reduce(gcol, cur_g[f_pad:])
 
         def dw4(uvec):
             cols = [jnp.sum(uvec * hits[min(jj, len(lane_offs) - 1)],

@@ -127,6 +127,29 @@ class TestEMD:
         np.testing.assert_allclose(np.asarray(gx)[0], want, atol=1e-5)
 
 
+class TestEMDCompactedPhases:
+    """n >= 2048 triggers the staged-width schedule (full -> N/8 [-> N/64]
+    compacted rounds); the compacted tail must still reach a near-bijective,
+    near-optimal assignment."""
+
+    def test_staged_matches_protocol_quality(self, rng):
+        n = 2048
+        x = rng.rand(1, n, 3).astype(np.float32)
+        y = (x + 0.02 * rng.randn(1, n, 3)).astype(np.float32)
+        dist, assign = emd_auction(jnp.asarray(x), jnp.asarray(y),
+                                   eps=0.004, iters=500, chunk_size=512)
+        a = np.asarray(assign)[0]
+        # near-bijection after convergence
+        assert len(np.unique(a)) >= n - 5
+        # assignment should be near the identity-quality matching: the
+        # matched distance ~ the displacement scale, far below random (~0.5)
+        got = float(np.mean(np.sqrt(np.asarray(dist)[0] + 1e-12)))
+        assert got < 0.12, got
+        # dist consistent with the returned assignment
+        want = ((x[0] - y[0][a]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(dist)[0], want, atol=1e-5)
+
+
 class TestFScore:
     def test_perfect_match(self, rng):
         x = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
