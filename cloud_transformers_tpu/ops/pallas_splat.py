@@ -102,9 +102,17 @@ def _window_of(lanes, lane_offs):
 
 
 # reduce-strategy experiment knobs: "vpu" = jnp.sum, "mxu" = fold the lane
-# dim to 128 then one dot-with-ones (pipelines on the MXU across points)
-_LANE_REDUCE = "mxu"
-_SUBLANE_REDUCE = "mxu"
+# dim to 128 then one dot-with-ones.  Measured on v5e with the tiled values
+# layout (tools/kernel_sweep.py --reduce-sweep, R=128 K=2048 F=8 32^3):
+#   vpu/vpu: slice 17.2 c/pt  splat_bwd 62.4 c/pt  slice_bwd 28.7 c/pt
+#   mxu/vpu: slice 20.6       splat_bwd 95.1       slice_bwd 29.9
+#   vpu/mxu: slice 17.9       splat_bwd 91.8       slice_bwd 40.6
+#   mxu/mxu: slice 20.8       splat_bwd 120.1      slice_bwd 40.6
+# VPU wins everywhere now: the tiled layout removed the in-kernel [T,F]
+# transpose whose register pressure had made the MXU dot-with-ones pay off
+# for d_values in the pre-tiled kernels.
+_LANE_REDUCE = "vpu"
+_SUBLANE_REDUCE = "vpu"
 
 
 def _lane_reduce(prod):
@@ -544,10 +552,11 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
             # 8 per-point lane reductions collapse into 8 per-tile ones)
             tlo_s[j:j + 1, :] = _sublane_reduce(vcol, dcon_lo)
             thi_s[j:j + 1, :] = _sublane_reduce(vcol, dcon_hi)
-            # d_values: sum_s w_s * dcon at the vertex lanes.  The lane
-            # reduction runs as an MXU dot against a ones vector — the VPU
-            # cross-lane jnp.sum formulation measured 35 cyc/pt here
-            # (register pressure + shuffle chain), the dot 10 cyc/pt.
+            # d_values: sum_s w_s * dcon at the vertex lanes, via
+            # _lane_reduce.  With the tiled values layout the VPU jnp.sum
+            # wins (see the _LANE_REDUCE table above); the MXU
+            # dot-with-ones only paid off in the pre-tiled kernels whose
+            # in-kernel [T, F] transpose starved the VPU of registers.
             prod = (dcon_lo * m_lo[j:j + 1, :]
                     + dcon_hi * m_hi[j:j + 1, :])
             dval_s[:, j:j + 1] = _lane_reduce(prod)
