@@ -44,18 +44,26 @@ def measure(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_classifier_inference(batch=8, points=2048):
+def bench_classifier_inference(batch=8, points=2048, mxu_dtype=None):
+    """ScanObjectNN classifier forward.  ``mxu_dtype='bfloat16'`` is the
+    production TPU config (PARITY.md: bf16-vs-f32 logits cosine 0.999997,
+    top-1 identical); f32 is kept as a row for cross-round comparability."""
     import jax
     from cloud_transformers_tpu.models import get_model
+    from cloud_transformers_tpu.nn.precision import set_default_mxu_dtype
 
-    model = get_model("scanobject_classifier", n_classes=15)
-    pcd = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3))
-    variables = jax.jit(
-        lambda: model.init({"params": jax.random.PRNGKey(0),
-                            "dropout": jax.random.PRNGKey(1)},
-                           pcd, train=False))()
-    fwd = jax.jit(lambda v, p: model.apply(v, p, train=False)[0])
-    dt = measure(fwd, variables, pcd)
+    set_default_mxu_dtype(mxu_dtype)
+    try:
+        model = get_model("scanobject_classifier", n_classes=15)
+        pcd = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3))
+        variables = jax.jit(
+            lambda: model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)},
+                               pcd, train=False))()
+        fwd = jax.jit(lambda v, p: model.apply(v, p, train=False)[0])
+        dt = measure(fwd, variables, pcd)
+    finally:
+        set_default_mxu_dtype(None)
     return batch / dt, dt
 
 
@@ -105,13 +113,40 @@ def bench_reconstructor_inference(batch=8, points=8192, im=128):
     return dt
 
 
+def bench_inpainter_inference(batch=2, points=16384, partial=2048):
+    """ShapeNet completion forward (noise [B,P,4] + partial -> cloud) at the
+    reference protocol shapes (configs/inpainting.yaml: gt_size=16384,
+    input_size=2048, batch 2), bf16 MXU policy."""
+    import jax
+    from cloud_transformers_tpu.models import get_model
+    from cloud_transformers_tpu.nn.precision import set_default_mxu_dtype
+
+    set_default_mxu_dtype("bfloat16")
+    try:
+        model = get_model("completion_inpainter")
+        noise = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 4))
+        part = jax.random.normal(jax.random.PRNGKey(1), (batch, partial, 3))
+        variables = jax.jit(
+            lambda: model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)},
+                               noise, part, train=False))()
+        fwd = jax.jit(lambda v, n, p: model.apply(v, n, p, train=False)[0])
+        dt = measure(fwd, variables, noise, part, iters=10)
+    finally:
+        set_default_mxu_dtype(None)
+    return dt
+
+
 def main():
     t_start = time.time()
-    clouds_per_sec, dt_cls = bench_classifier_inference()
+    # headline: the production TPU config (bf16 MXU policy, verified parity)
+    clouds_per_sec, dt_cls = bench_classifier_inference(mxu_dtype="bfloat16")
+    _, dt_cls_f32 = bench_classifier_inference(mxu_dtype=None)
     mpts, dt_ss = bench_splat_slice()
     # B=32 scaling point (round-1 anomaly check: must scale ~linearly)
     mpts32, dt_ss32 = bench_splat_slice(batch=32)
     dt_rec = bench_reconstructor_inference()
+    dt_inp = bench_inpainter_inference()
 
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
@@ -125,16 +160,18 @@ def main():
             pass
 
     print(json.dumps({
-        "metric": "clouds/sec/chip (ScanObjectNN infer)",
+        "metric": "clouds/sec/chip (ScanObjectNN infer, bf16 prod config)",
         "value": round(clouds_per_sec, 1),
         "unit": "clouds/sec",
         "vs_baseline": round(vs, 3),
         "splat_slice_mpoints_per_sec": round(mpts, 1),
         "splat_slice_mpoints_per_sec_b32": round(mpts32, 1),
         "classifier_ms_per_batch8": round(dt_cls * 1e3, 3),
+        "classifier_f32_ms_per_batch8": round(dt_cls_f32 * 1e3, 3),
         "splat_slice_ms": round(dt_ss * 1e3, 3),
         "splat_slice_b32_ms": round(dt_ss32 * 1e3, 3),
         "reconstructor_bf16_ms_per_batch8": round(dt_rec * 1e3, 3),
+        "inpainter_bf16_ms_per_batch2_16k": round(dt_inp * 1e3, 3),
         "bench_wall_sec": round(time.time() - t_start, 1),
     }))
 

@@ -51,8 +51,9 @@ class GroupedConvTranspose(nn.Module):
 
 
 def _bn(train, name=None):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=name)
+    from cloud_transformers_tpu.nn.norm import TorchBatchNorm
+    return TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, name=name)
 
 
 class BasicBlock(nn.Module):

@@ -53,9 +53,11 @@ def spatial_to_grid(x, heads):
 
 
 def _bn(train, scale_init=nn.initializers.ones, name=None):
-    """BatchNorm with torch hyperparameters (momentum 0.1 -> flax 0.9)."""
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, scale_init=scale_init, name=name)
+    """BatchNorm with torch hyperparameters (momentum 0.1 -> flax 0.9) and
+    torch running-stat semantics (unbiased running var — nn/norm.py)."""
+    from cloud_transformers_tpu.nn.norm import TorchBatchNorm
+    return TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, scale_init=scale_init, name=name)
 
 
 class GridKeysValues(nn.Module):

@@ -17,8 +17,9 @@ from cloud_transformers_tpu.nn.precision import MXUConv
 
 
 def _bn(train, name=None, scale_init=nn.initializers.ones):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, scale_init=scale_init, name=name)
+    from cloud_transformers_tpu.nn.norm import TorchBatchNorm
+    return TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, scale_init=scale_init, name=name)
 
 
 class Bottleneck(nn.Module):

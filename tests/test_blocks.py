@@ -30,6 +30,70 @@ def init_apply(module, *args, train=True, **kwargs):
     return out, variables
 
 
+class TestTorchBatchNorm:
+    """TorchBatchNorm must reproduce torch.nn.BatchNorm exactly — including
+    the unbiased (Bessel) running-variance update that flax's BatchNorm
+    omits (flax normalization.py:404 stores the biased batch var)."""
+
+    @pytest.mark.parametrize("shape", [(16, 32), (4, 7, 12), (2, 5, 5, 6)])
+    def test_matches_torch_train_and_eval(self, shape):
+        import torch
+        from cloud_transformers_tpu.nn.norm import TorchBatchNorm
+
+        feat = shape[-1]
+        tb = {2: torch.nn.BatchNorm1d, 3: torch.nn.BatchNorm1d,
+              4: torch.nn.BatchNorm2d}[len(shape)](feat, momentum=0.1)
+        with torch.no_grad():
+            tb.weight.copy_(torch.rand(feat) + 0.5)
+            tb.bias.copy_(torch.rand(feat) - 0.5)
+
+        fb = TorchBatchNorm(use_running_average=False)
+        rng = np.random.RandomState(0)
+        x0 = rng.randn(*shape).astype(np.float32)
+        variables = fb.init(jax.random.PRNGKey(0), x0)
+        variables = {
+            "params": {"scale": jnp.asarray(tb.weight.detach().numpy()),
+                       "bias": jnp.asarray(tb.bias.detach().numpy())},
+            "batch_stats": variables["batch_stats"],
+        }
+
+        def to_torch(x):
+            # torch BN wants channels at dim 1
+            t = torch.tensor(x)
+            perm = (0, t.ndim - 1) + tuple(range(1, t.ndim - 1))
+            return t.permute(perm)
+
+        def from_torch(t):
+            perm = (0,) + tuple(range(2, t.ndim)) + (1,)
+            return t.permute(perm).detach().numpy()
+
+        tb.train()
+        for step in range(3):
+            x = rng.randn(*shape).astype(np.float32)
+            with torch.no_grad():
+                t_out = from_torch(tb(to_torch(x)))
+            j_out, upd = fb.apply(variables, x, mutable=["batch_stats"])
+            variables = {"params": variables["params"],
+                         "batch_stats": upd["batch_stats"]}
+            np.testing.assert_allclose(np.asarray(j_out), t_out,
+                                       atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(variables["batch_stats"]["mean"]),
+            tb.running_mean.numpy(), atol=1e-6, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(variables["batch_stats"]["var"]),
+            tb.running_var.numpy(), atol=1e-6, rtol=1e-5)
+
+        tb.eval()
+        x = rng.randn(*shape).astype(np.float32)
+        with torch.no_grad():
+            t_out = from_torch(tb(to_torch(x)))
+        eval_bn = TorchBatchNorm(use_running_average=True)
+        j_out = eval_bn.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(j_out), t_out,
+                                   atol=2e-5, rtol=1e-5)
+
+
 class TestNorms:
     def test_instance_norm(self, rng):
         x = jnp.asarray(rng.randn(2, 64, 8) * 5 + 3, jnp.float32)

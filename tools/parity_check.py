@@ -99,7 +99,8 @@ def run_segmenter_pad(points, report):
     torch.manual_seed(0)
     ref = load_reference_model(MODELS["s3dis_segmenter_pad"][0])
     ref.eval()
-    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    sd = {k: v.detach().numpy().copy()  # .numpy() aliases torch storage
+          for k, v in ref.state_dict().items()}
     params, batch_stats = convert("s3dis_segmenter_pad", sd)
 
     rng = np.random.RandomState(0)
@@ -144,7 +145,8 @@ def run_classifier(points, report):
     ref = load_reference_model(MODELS["scanobject_classifier"][0],
                                **MODELS["scanobject_classifier"][1])
     ref.eval()
-    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    sd = {k: v.detach().numpy().copy()  # .numpy() aliases torch storage
+          for k, v in ref.state_dict().items()}
     params, batch_stats = convert("scanobject_classifier", sd)
 
     rng = np.random.RandomState(0)
