@@ -132,3 +132,15 @@ def chamfer_point_sharded(mesh, xyz1, xyz2, chunk_size=1024,
                  P(None, "points"), P(None, "points"))
     return shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
                      out_specs=out_specs, check_rep=False)(*args)
+
+
+def f_score_point_sharded(mesh, pred, gt, threshold=0.01, chunk_size=1024,
+                          valid_pred=None, valid_gt=None):
+    """``losses.fscore.f_score`` with the NN searches point-sharded over
+    'points' (see ``chamfer_point_sharded``); the threshold statistics are
+    computed on the (logically global) sharded distance arrays."""
+    from cloud_transformers_tpu.losses.fscore import f_score_from_dists
+
+    d1, d2, _, _ = chamfer_point_sharded(mesh, pred, gt, chunk_size,
+                                         valid1=valid_pred, valid2=valid_gt)
+    return f_score_from_dists(d1, d2, threshold, valid_pred, valid_gt)

@@ -126,3 +126,20 @@ class TestChamferPointSharded:
         for gs, gr in zip(g_sh, g_ref):
             np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
                                        atol=1e-6)
+
+
+def test_f_score_point_sharded_matches_single():
+    from cloud_transformers_tpu.losses.fscore import f_score
+    from cloud_transformers_tpu.parallel.point_sharded import (
+        f_score_point_sharded)
+
+    rng = np.random.RandomState(3)
+    pred = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    gt = jnp.asarray((rng.randn(2, 96, 3) * 1.02).astype(np.float32))
+    mesh = make_mesh(n_data=2, n_points=4)
+    ref = f_score(pred, gt, threshold=0.5, chunk_size=32)
+    with mesh:
+        out = jax.jit(lambda p, g: f_score_point_sharded(
+            mesh, p, g, threshold=0.5, chunk_size=32))(pred, gt)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-6)
