@@ -209,19 +209,22 @@ class Family:
     def torch_param_names(self):
         return [k for k, _ in self.ref.named_parameters()]
 
-    def grad_tree(self):
+    def grad_tree(self, ref=None):
         """torch grads mapped through the converter into the flax layout."""
         from tools.convert_torch_checkpoint import convert
-        sd = self.ref.state_dict()
+        ref = self.ref if ref is None else ref
+        sd = ref.state_dict()
         grad_sd = {}
-        params = dict(self.ref.named_parameters())
+        params = dict(ref.named_parameters())
         for k, v in sd.items():
             if k in params and params[k].grad is not None:
-                grad_sd[k] = params[k].grad.detach().numpy().copy()
+                grad_sd[k] = params[k].grad.detach().numpy().astype(
+                    np.float32).copy()
             elif k in params:
-                grad_sd[k] = np.zeros_like(v.detach().numpy())
+                grad_sd[k] = np.zeros(tuple(v.shape), np.float32)
             else:
-                grad_sd[k] = v.detach().numpy().copy()  # stats: ignored
+                grad_sd[k] = v.detach().numpy().astype(
+                    np.float32).copy()  # stats: ignored
         gp, _ = convert(self.name, grad_sd)
         return gp
 
@@ -299,6 +302,31 @@ def grad_rows(fam, report):
         loss_t2.backward()
         g_floors.append(fam.grad_tree())
     fam.ref.zero_grad()
+
+    # float64 referee: the double-precision torch gradient is the ground
+    # truth both frameworks' float32 backward passes approximate.  The
+    # parity GATE: jax-f32 must be as close to the truth as torch-f32
+    # itself is — i.e. the cross-framework difference is explained by f32
+    # rounding, not by semantics.  (Input-jitter floors above measure the
+    # rasterizer's chaotic sensitivity and stay as context columns; they
+    # under-model per-op rounding, which perturbs grads directly.)
+    import copy as _copy
+    ref64 = _copy.deepcopy(fam.ref).double()
+    ref64.eval()
+    in64 = tuple(x.double() for x in fam.t_in)
+    # the reference allocates its rasterization grids at torch's default
+    # dtype (cloud_transform.py:164) and asserts f32 inputs (:147) — run
+    # under a float64 default (and `python -O` to strip the assert)
+    torch.set_default_dtype(torch.float64)
+    try:
+        out64 = fam.t_fwd(ref64, in64)
+        loss64 = sum((o * torch.from_numpy(p).double()).sum()
+                     for o, p in zip(out64, projs))
+        ref64.zero_grad()
+        loss64.backward()
+    finally:
+        torch.set_default_dtype(torch.float32)
+    g_truth = fam.grad_tree(ref=ref64)
     loss_t3 = sum((o * torch.from_numpy(p)).sum()
                   for o, p in zip(fam.t_fwd(fam.ref, fam.t_in), projs))
     loss_t3.backward()  # restore original grads for the comparison below
@@ -349,28 +377,31 @@ def grad_rows(fam, report):
             floors[i].append(_cosine(gt, np.asarray(fm[key])))
         if c < worst[1]:
             worst = (key, c)
-    gc = _cosine(
-        np.concatenate([np.asarray(g).ravel() for _, g in flat_t]),
-        np.concatenate([np.asarray(flat_j_map[jax.tree_util.keystr(p)])
-                        .ravel() for p, _ in flat_t
-                        if jax.tree_util.keystr(p) in flat_j_map]))
-    gfloors = [
-        _cosine(
-            np.concatenate([np.asarray(g).ravel() for _, g in flat_t]),
-            np.concatenate([np.asarray(fm[jax.tree_util.keystr(p)])
-                            .ravel() for p, _ in flat_t]))
-        for fm in flat_f_maps]
+    def cat(m):
+        return np.concatenate([np.asarray(m[jax.tree_util.keystr(p)]).ravel()
+                               for p, _ in flat_t
+                               if jax.tree_util.keystr(p) in m])
+
+    flat_truth_map = {jax.tree_util.keystr(k): v
+                      for k, v in jax.tree_util.tree_leaves_with_path(
+                          g_truth)}
+    vt = np.concatenate([np.asarray(g).ravel() for _, g in flat_t])
+    vj, vtruth = cat(flat_j_map), cat(flat_truth_map)
+    gc = _cosine(vt, vj)
+    gfloors = [_cosine(vt, cat(fm)) for fm in flat_f_maps]
+    ref_torch = _cosine(vtruth, vt)   # f64 truth vs torch-f32
+    ref_jax = _cosine(vtruth, vj)     # f64 truth vs jax-f32
     med = float(np.median(cosines))
     med_fs = [float(np.median(f)) for f in floors]
     line = (f"| {fam.name} | {len(cosines)} | {gc:.6f} | {gfloors[0]:.6f} | "
             f"{gfloors[1]:.6f} | {med:.6f} | {med_fs[1]:.6f} | "
+            f"{ref_jax:.6f} | {ref_torch:.6f} | "
             f"{worst[1]:.4f} {worst[0][:36]} |")
     print(line)
     report.append(line)
-    # pass when cross-framework agreement reaches the same-framework
-    # chaos-floor band (or is outright high)
-    return (gc >= min(0.999, min(gfloors) - 1e-3)
-            and med >= min(0.999, min(med_fs) - 1e-3))
+    # GATE on the f64 referee: jax's f32 backward must approximate the
+    # double-precision gradient as well as torch's own f32 backward does
+    return ref_jax >= min(0.999, ref_torch - 1e-3)
 
 
 def trajectory_rows(points, report):
@@ -585,9 +616,16 @@ def main():
                   "framework agreement within the same-framework floor "
                   "band is the strongest possible claim.",
                   "",
+                  "The GATE is the float64 referee: the f64 torch gradient "
+                  "is the ground truth both f32 backward passes "
+                  "approximate; jax passes when cos(f64, jax-f32) >= "
+                  "cos(f64, torch-f32) - 1e-3 — the cross-framework "
+                  "difference is then f32 rounding, not semantics.",
+                  "",
                   "| model | #params | global cos | floor @2e-5 | floor "
-                  "@1e-4 | median cos | med floor @1e-4 | worst |",
-                  "|---|---|---|---|---|---|---|---|"]
+                  "@1e-4 | median cos | med floor @1e-4 | f64-vs-jax | "
+                  "f64-vs-torch | worst |",
+                  "|---|---|---|---|---|---|---|---|---|---|"]
         for name in fams:
             ok &= grad_rows(get_fam(name), report)
         emit(report)
