@@ -11,6 +11,10 @@ from cloud_transformers_tpu.core.splat_slice import (
     splat_conv_slice,
     splat_max_mapping,
     slice_grid_mapping,
+    splat_max_mapping_k,
+    slice_grid_mapping_k,
+    gridk_to_spatial,
+    spatial_to_gridk,
 )
 from cloud_transformers_tpu.core.grid_mapping import grid_mapping, GridMapping
 from cloud_transformers_tpu.core.noise import sphere_noise, partial_postprocess
@@ -26,6 +30,10 @@ __all__ = [
     "splat_conv_slice",
     "splat_max_mapping",
     "slice_grid_mapping",
+    "splat_max_mapping_k",
+    "slice_grid_mapping_k",
+    "gridk_to_spatial",
+    "spatial_to_gridk",
     "grid_mapping",
     "GridMapping",
     "sphere_noise",

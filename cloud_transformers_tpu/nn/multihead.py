@@ -22,6 +22,10 @@ from cloud_transformers_tpu.core.grid_mapping import grid_mapping
 from cloud_transformers_tpu.core.splat_slice import (
     splat_max_mapping,
     slice_grid_mapping,
+    splat_max_mapping_k,
+    slice_grid_mapping_k,
+    gridk_to_spatial,
+    spatial_to_gridk,
 )
 from cloud_transformers_tpu.nn.grouped_conv import GroupedConv
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
@@ -122,16 +126,18 @@ class MultiHead(nn.Module):
             in_feature_dim=f, tensor_dim=dim, heads=h, scales=self.scales,
             name="kv")(x, orig_pcd, train)
         mapping = grid_mapping(lattice, sizes, dim)
-        grid = splat_max_mapping(mapping, values, sizes, pts_mask=pts_mask)
-        stats = head_stats(grid, keys, f, h)
+        # grids stay in the Pallas kernel layout between splat, conv and
+        # slice — one fused conversion per conv boundary (core/splat_slice)
+        gk = splat_max_mapping_k(mapping, values, sizes, pts_mask=pts_mask)
+        stats = head_stats(gk, keys, f, h)
 
-        gs = grid_to_spatial(grid, sizes)
+        gs = gridk_to_spatial(gk, x.shape[0], sizes, f)
         gs = GroupedConv(h * f, kernel_size=(3,) * dim, padding=1,
                          groups=h, use_bias=True, name="conv")(gs)
-        convolved = spatial_to_grid(gs, h)
+        gk2 = spatial_to_gridk(gs, h, sizes, f)
 
-        out = slice_grid_mapping(mapping, convolved, sizes,
-                                 pts_mask=pts_mask)
+        out = slice_grid_mapping_k(mapping, gk2, sizes, f,
+                                   pts_mask=pts_mask)
         out = nn.relu(_bn(train, name="after_bn")(out))
         if return_lattice:
             return (out, lattice), stats
@@ -207,9 +213,9 @@ class MultiHeadPool(nn.Module):
             in_feature_dim=f, tensor_dim=dim, heads=h, scales=self.scales,
             name="kv")(x, orig_pcd, train)
         mapping = grid_mapping(lattice, sizes, dim)
-        grid = splat_max_mapping(mapping, values, sizes, pts_mask=pts_mask)
-        stats = head_stats(grid, keys, f, h)
-        out = grid_to_spatial(grid, sizes)
+        gk = splat_max_mapping_k(mapping, values, sizes, pts_mask=pts_mask)
+        stats = head_stats(gk, keys, f, h)
+        out = gridk_to_spatial(gk, x.shape[0], sizes, f)
         if return_lattice:
             return (out, lattice), stats
         return out, stats

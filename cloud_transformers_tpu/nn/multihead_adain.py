@@ -16,16 +16,16 @@ import numpy as np
 
 from cloud_transformers_tpu.core.grid_mapping import grid_mapping
 from cloud_transformers_tpu.core.splat_slice import (
-    splat_max_mapping,
-    slice_grid_mapping,
+    splat_max_mapping_k,
+    slice_grid_mapping_k,
+    gridk_to_spatial,
+    spatial_to_gridk,
 )
 from cloud_transformers_tpu.nn.grouped_conv import GroupedConv
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.multihead import (
     TensorSize,
     _sizes,
-    grid_to_spatial,
-    spatial_to_grid,
     head_stats,
 )
 from cloud_transformers_tpu.nn.norm import AdaIn1d
@@ -66,15 +66,15 @@ class MultiHeadAdaIn(nn.Module):
         lattice = jnp.tanh(keys)
 
         mapping = grid_mapping(lattice, sizes, dim)
-        grid = splat_max_mapping(mapping, values, sizes)
-        stats = head_stats(grid, keys, f, h)
+        gk = splat_max_mapping_k(mapping, values, sizes)
+        stats = head_stats(gk, keys, f, h)
 
-        gs = grid_to_spatial(grid, sizes)
+        gs = gridk_to_spatial(gk, b, sizes, f)
         gs = GroupedConv(h * f, kernel_size=(3,) * dim, padding=1,
                          groups=h, use_bias=True, name="conv")(gs)
-        convolved = spatial_to_grid(gs, h)
+        gk2 = spatial_to_gridk(gs, h, sizes, f)
 
-        out = slice_grid_mapping(mapping, convolved, sizes)
+        out = slice_grid_mapping_k(mapping, gk2, sizes, f)
         out = nn.relu(AdaIn1d(h * f, name="after_adain")(out, z))
         if return_lattice:
             return (out, lattice), stats

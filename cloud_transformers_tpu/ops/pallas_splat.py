@@ -101,6 +101,40 @@ def _window_of(lanes, lane_offs):
 # [*, 256] RMWs for every point are the floor of this formulation.
 
 
+# ---------------------------------------------------------------------------
+# Kernel grid layout: [R, X*F_pad, lanes] with lanes = max(128, prod(Y, Z))
+# and F_pad = max(8, F).  All kernels accumulate/read in this layout; the
+# ``kernel_layout`` flags below let callers keep grids in it BETWEEN kernels
+# (splat -> conv -> slice), paying one fused conversion per conv boundary
+# instead of a [R, G, F] round trip around every kernel (measured: the
+# boundary copies were 24% of the classifier forward).
+# ---------------------------------------------------------------------------
+
+def kernel_grid_dims(sizes, feat):
+    """-> (x_dim, lane_extent, lanes, f_pad) of the kernel grid layout."""
+    x_dim = sizes[0]
+    lane_extent = int(np.prod(sizes[1:]))
+    return x_dim, lane_extent, max(128, lane_extent), max(8, feat)
+
+
+def kernel_to_flat(gk, sizes, feat):
+    """kernel layout [R, X*F_pad, lanes] -> flat grid [R, G, F]."""
+    r = gk.shape[0]
+    x_dim, lane_extent, lanes, f_pad = kernel_grid_dims(sizes, feat)
+    out = gk.reshape(r, x_dim, f_pad, lanes)[:, :, :feat, :lane_extent]
+    return out.transpose(0, 1, 3, 2).reshape(r, x_dim * lane_extent, feat)
+
+
+def flat_to_kernel(grid, sizes, feat):
+    """flat grid [R, G, F] -> kernel layout [R, X*F_pad, lanes]."""
+    r = grid.shape[0]
+    x_dim, lane_extent, lanes, f_pad = kernel_grid_dims(sizes, feat)
+    g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
+    g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, lanes - lane_extent),
+                      (0, f_pad - grid.shape[-1])))
+    return g4.transpose(0, 1, 3, 2).reshape(r, x_dim * f_pad, lanes)
+
+
 # reduce-strategy experiment knobs: "vpu" = jnp.sum, "mxu" = fold the lane
 # dim to 128 then one dot-with-ones.  Measured on v5e with the tiled values
 # layout (tools/kernel_sweep.py --reduce-sweep, R=128 K=2048 F=8 32^3):
@@ -287,9 +321,10 @@ def _splat_kernel(x0_ref, lane0_ref, *refs,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sizes", "feat", "op", "interpret"))
+                   static_argnames=("sizes", "feat", "op", "interpret",
+                                    "kernel_layout_out"))
 def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
-                 interpret=False):
+                 interpret=False, kernel_layout_out=False):
     """Fused splat over a batch of independent grids.
 
     Args:
@@ -302,9 +337,12 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
       sizes: grid spatial sizes tuple (X, Y) or (X, Y, Z).
       feat: F.
       op: 'max' (zero-init clamp comes free) or 'add'.
+      kernel_layout_out: return the raw kernel layout [R, X*F_pad, lanes]
+        (padding is zero) instead of [R, G, F] — callers chaining into
+        another kernel keep the layout and skip the boundary transpose.
 
     Returns:
-      grid [R, G, F] float32 (G = prod(sizes)).
+      grid [R, G, F] float32 (G = prod(sizes)), or the kernel layout.
     """
     r, k = x0.shape
     x_dim = sizes[0]
@@ -353,11 +391,9 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
     )(x0[:, None, :], lane0[:, None, :],
       *_point_args(lane0, w_lo, w_hi, values, tile))
 
-    # [R, X*F_pad, lanes] -> [R, G, F]
-    out = out.reshape(r, x_dim, f_pad, lanes)[:, :, :feat, :lane_extent]
-    out = out.transpose(0, 1, 3, 2).reshape(
-        r, x_dim * lane_extent, feat)
-    return out
+    if kernel_layout_out:
+        return out
+    return kernel_to_flat(out, sizes, feat)
 
 
 def vertex_decomposition(keys_scaled, sizes):
@@ -449,10 +485,13 @@ def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sizes", "feat", "interpret"))
-def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
-    """Fused multi-vertex slice: grid [R, G, F] -> per-point weighted sums
-    [R, K, F]. Inputs as in pallas_splat."""
+                   static_argnames=("sizes", "feat", "interpret",
+                                    "kernel_layout_in"))
+def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False,
+                 kernel_layout_in=False):
+    """Fused multi-vertex slice: grid [R, G, F] (or kernel layout, with
+    ``kernel_layout_in``) -> per-point weighted sums [R, K, F].  Inputs as
+    in pallas_splat."""
     r, k_orig = x0.shape
     x_dim = sizes[0]
     lane_extent = int(np.prod(sizes[1:]))
@@ -462,11 +501,7 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False):
     k_pad, x0, lane0, w_lo, w_hi = _pad_points(
         tile, k_orig, x0, lane0, w_lo, w_hi)
 
-    # [R, G, F] -> kernel layout [R, X*F_pad, lanes]
-    g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
-    g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, lanes - lane_extent),
-                      (0, f_pad - grid.shape[-1])))
-    gk = g4.transpose(0, 1, 3, 2).reshape(r, x_dim * f_pad, lanes)
+    gk = grid if kernel_layout_in else flat_to_kernel(grid, sizes, feat)
 
     if len(sizes) == 2:
         lane_offs = (0, 1)
@@ -577,11 +612,16 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
     jax.lax.fori_loop(0, n_points // T, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "feat", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sizes", "feat", "interpret",
+                                             "kernel_layout_in"))
 def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
-                     interpret=False):
+                     interpret=False, kernel_layout_in=False):
     """Backward of the splat: cotangent ``g`` [R, G, F] routed to the argmax
-    winners -> (d_w_lo [R,K,4], d_w_hi [R,K,4], d_values [R,K,F])."""
+    winners -> (d_w_lo [R,K,4], d_w_hi [R,K,4], d_values [R,K,F]).
+
+    With ``kernel_layout_in``, ``grid`` and ``g`` arrive in the kernel
+    layout (as produced by ``pallas_splat(kernel_layout_out=True)``) and the
+    two boundary conversions are skipped."""
     r, k_orig = x0.shape
     x_dim = sizes[0]
     lane_extent = int(np.prod(sizes[1:]))
@@ -594,14 +634,11 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
     k_pad, x0, lane0, w_lo, w_hi, values = _pad_points(
         tile, k_orig, x0, lane0, w_lo, w_hi, values)
 
-    def to_kernel_layout(a):
-        a4 = a.reshape(r, x_dim, lane_extent, a.shape[-1])
-        a4 = jnp.pad(a4, ((0, 0), (0, 0), (0, lanes - lane_extent),
-                          (0, f_pad - a.shape[-1])))
-        return a4.transpose(0, 1, 3, 2).reshape(r, x_dim * f_pad, lanes)
-
-    grid_k = to_kernel_layout(grid)
-    g_k = to_kernel_layout(g)
+    if kernel_layout_in:
+        grid_k, g_k = grid, g
+    else:
+        grid_k = flat_to_kernel(grid, sizes, feat)
+        g_k = flat_to_kernel(g, sizes, feat)
 
     if len(sizes) == 2:
         lane_offs = (0, 1)
@@ -712,14 +749,17 @@ def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
         dgrid_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "feat", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sizes", "feat", "interpret",
+                                             "kernel_layout"))
 def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
-                     interpret=False):
+                     interpret=False, kernel_layout=False):
     """Fused backward of the slice: one pass over the points computes BOTH
     the scatter-add of cotangents into d_grid AND the per-vertex d_w dots
     (previously two kernels re-reading the same payload/grid).
 
-    Returns (d_grid [R, G, F], d_w_lo [R, K, 4], d_w_hi [R, K, 4])."""
+    Returns (d_grid [R, G, F], d_w_lo [R, K, 4], d_w_hi [R, K, 4]).
+    With ``kernel_layout``, ``grid`` arrives AND ``d_grid`` is returned in
+    the kernel layout — no boundary conversions."""
     r, k_orig = x0.shape
     x_dim = sizes[0]
     lane_extent = int(np.prod(sizes[1:]))
@@ -732,10 +772,7 @@ def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
     k_pad, x0, lane0, w_lo, w_hi, g_pts = _pad_points(
         tile, k_orig, x0, lane0, w_lo, w_hi, g_pts)
 
-    g4 = grid.reshape(r, x_dim, lane_extent, grid.shape[-1])
-    g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, lanes - lane_extent),
-                      (0, f_pad - grid.shape[-1])))
-    gk = g4.transpose(0, 1, 3, 2).reshape(r, x_dim * f_pad, lanes)
+    gk = grid if kernel_layout else flat_to_kernel(grid, sizes, feat)
 
     if len(sizes) == 2:
         lane_offs = (0, 1)
@@ -784,6 +821,6 @@ def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
     )(x0[:, None, :], lane0[:, None, :],
       *_point_args(lane0, w_lo, w_hi, g_pts, tile), gk)
 
-    dg = dgrid.reshape(r, x_dim, f_pad, lanes)[:, :, :feat, :lane_extent]
-    dg = dg.transpose(0, 1, 3, 2).reshape(r, x_dim * lane_extent, feat)
+    dg = (dgrid if kernel_layout
+          else kernel_to_flat(dgrid, sizes, feat))
     return dg, dwlo[:, :k_orig, :], dwhi[:, :k_orig, :]
