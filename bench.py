@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Benchmark: ScanObjectNN classifier inference throughput (north-star,
-BASELINE.md) + fused splat+slice throughput.
+BASELINE.md) + fused splat+slice throughput + per-model rows.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -8,10 +8,18 @@ Prints ONE JSON line:
 The reference publishes no GPU throughput numbers (BASELINE.md), so
 ``vs_baseline`` is measured against the recorded value of the previous round
 when available (bench_baseline.json), else 1.0.
+
+Resilience: this machine's TPU tunnel can hang for hours (ROADMAP known-gap
+#5) and first compiles are minutes.  Each section therefore runs in its own
+bounded subprocess; a section that hangs or dies is reported as null and the
+headline line still prints from whatever completed.  Section results are
+cached in /tmp between invocations of the same git tree state, so a re-run
+after a mid-bench tunnel drop resumes instead of recompiling everything.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -137,21 +145,158 @@ def bench_inpainter_inference(batch=2, points=16384, partial=2048):
     return dt
 
 
+# ---------------------------------------------------------------------------
+# Section runner: each section is a bounded subprocess so one tunnel hang or
+# pathological compile cannot zero out the whole round's bench artifact.
+# ---------------------------------------------------------------------------
+
+SECTIONS = {
+    # name -> (python expression producing a dict of result fields, timeout_s)
+    "cls_bf16": (
+        "dict(zip(('clouds_per_sec','classifier_ms_per_batch8'),"
+        "bench_classifier_inference(mxu_dtype='bfloat16')))", 900),
+    "cls_f32": (
+        "{'classifier_f32_ms_per_batch8':"
+        "bench_classifier_inference(mxu_dtype=None)[1]}", 900),
+    "splat_slice": (
+        "dict(zip(('splat_slice_mpoints_per_sec','splat_slice_s'),"
+        "bench_splat_slice()))", 600),
+    "splat_slice_b32": (
+        "dict(zip(('splat_slice_mpoints_per_sec_b32','splat_slice_b32_s'),"
+        "bench_splat_slice(batch=32)))", 600),
+    "reconstructor": (
+        "{'reconstructor_bf16_s_per_batch8': bench_reconstructor_inference()}",
+        900),
+    "inpainter": (
+        "{'inpainter_bf16_s_per_batch2_16k': bench_inpainter_inference()}",
+        900),
+}
+
+_MS_FIELDS = {  # seconds field -> reported milliseconds field
+    "classifier_ms_per_batch8": 1e3,
+    "classifier_f32_ms_per_batch8": 1e3,
+    "splat_slice_s": ("splat_slice_ms", 1e3),
+    "splat_slice_b32_s": ("splat_slice_b32_ms", 1e3),
+    "reconstructor_bf16_s_per_batch8": ("reconstructor_bf16_ms_per_batch8",
+                                        1e3),
+    "inpainter_bf16_s_per_batch2_16k": ("inpainter_bf16_ms_per_batch2_16k",
+                                        1e3),
+}
+
+
+def _cache_path(name):
+    import hashlib
+    import subprocess as sp
+    try:
+        tree = sp.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                      text=True, cwd=os.path.dirname(os.path.abspath(__file__))
+                      ).stdout.strip()
+    except Exception:
+        tree = "unknown"
+    h = hashlib.sha1(tree.encode()).hexdigest()[:10]
+    return f"/tmp/ct_bench_{h}_{name}.json"
+
+
+def _stale_result(name):
+    """Newest result for this section from ANY rev (tunnel-down fallback),
+    marked stale rather than dropping the row entirely."""
+    import glob
+    stale = sorted(glob.glob(f"/tmp/ct_bench_*_{name}.json"),
+                   key=os.path.getmtime)
+    if stale:
+        try:
+            res = json.load(open(stale[-1]))
+            res["_stale"] = True
+            return res
+        except Exception:
+            pass
+    return None
+
+
+def run_section(name, fresh=False, stale_ok=False):
+    """Run one bench section in a bounded subprocess; cache per git rev."""
+    expr, tmo = SECTIONS[name]
+    cpath = _cache_path(name)
+    if not fresh and os.path.exists(cpath):
+        try:
+            return json.load(open(cpath))
+        except Exception:
+            pass
+    if stale_ok:  # tunnel dead — don't even try to run
+        return _stale_result(name)
+    code = (
+        "import json, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from bench import *\n"
+        "res = %s\n"
+        "print('BENCH_RESULT ' + json.dumps(res))\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), expr)
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=tmo)
+    except subprocess.TimeoutExpired:
+        print(f"# section {name}: TIMEOUT after {tmo}s", file=sys.stderr)
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            res = json.loads(line[len("BENCH_RESULT "):])
+            try:
+                json.dump(res, open(cpath, "w"))
+            except Exception:
+                pass
+            return res
+    print(f"# section {name}: rc={proc.returncode} "
+          f"tail={proc.stderr[-400:]!r}", file=sys.stderr)
+    return None
+
+
+def tunnel_alive(timeout=150):
+    """One tiny jit matmul in a bounded subprocess — False means the TPU
+    tunnel is in its hung state and every section would eat its timeout."""
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((256, 256)); "
+            "print('ALIVE', float((x @ x).sum()))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=timeout)
+        return "ALIVE" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     t_start = time.time()
-    # headline: the production TPU config (bf16 MXU policy, verified parity)
-    clouds_per_sec, dt_cls = bench_classifier_inference(mxu_dtype="bfloat16")
-    _, dt_cls_f32 = bench_classifier_inference(mxu_dtype=None)
-    mpts, dt_ss = bench_splat_slice()
-    # B=32 scaling point (round-1 anomaly check: must scale ~linearly)
-    mpts32, dt_ss32 = bench_splat_slice(batch=32)
-    dt_rec = bench_reconstructor_inference()
-    dt_inp = bench_inpainter_inference()
+    fresh = "--fresh" in sys.argv
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    alive = tunnel_alive() if not only else True
+    if not alive:
+        print("# TPU tunnel unresponsive — reporting cached sections only",
+              file=sys.stderr)
+    fields = {}
+    ran = []
+    any_stale = False
+    for name in (only or SECTIONS):
+        res = run_section(name, fresh=fresh and alive, stale_ok=not alive)
+        ran.append(name if res is not None else name + ":FAIL")
+        if res:
+            any_stale |= bool(res.pop("_stale", False))
+            fields.update(res)
 
+    # seconds -> milliseconds presentation fields
+    out = {}
+    for k, v in fields.items():
+        conv = _MS_FIELDS.get(k)
+        if conv is None:
+            out[k] = round(v, 3)
+        elif isinstance(conv, tuple):
+            out[conv[0]] = round(v * conv[1], 3)
+        else:
+            out[k] = round(v * conv, 3)
+
+    clouds_per_sec = fields.get("clouds_per_sec")
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
     vs = 1.0
-    if os.path.exists(baseline_path):
+    if clouds_per_sec and os.path.exists(baseline_path):
         try:
             base = json.load(open(baseline_path))
             if base.get("value"):
@@ -159,19 +304,15 @@ def main():
         except Exception:
             pass
 
+    out.pop("clouds_per_sec", None)
     print(json.dumps({
         "metric": "clouds/sec/chip (ScanObjectNN infer, bf16 prod config)",
-        "value": round(clouds_per_sec, 1),
+        "value": round(clouds_per_sec, 1) if clouds_per_sec else None,
         "unit": "clouds/sec",
         "vs_baseline": round(vs, 3),
-        "splat_slice_mpoints_per_sec": round(mpts, 1),
-        "splat_slice_mpoints_per_sec_b32": round(mpts32, 1),
-        "classifier_ms_per_batch8": round(dt_cls * 1e3, 3),
-        "classifier_f32_ms_per_batch8": round(dt_cls_f32 * 1e3, 3),
-        "splat_slice_ms": round(dt_ss * 1e3, 3),
-        "splat_slice_b32_ms": round(dt_ss32 * 1e3, 3),
-        "reconstructor_bf16_ms_per_batch8": round(dt_rec * 1e3, 3),
-        "inpainter_bf16_ms_per_batch2_16k": round(dt_inp * 1e3, 3),
+        **out,
+        "sections": ",".join(ran),
+        **({"stale_cache": True} if any_stale else {}),
         "bench_wall_sec": round(time.time() - t_start, 1),
     }))
 

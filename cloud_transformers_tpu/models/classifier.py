@@ -18,7 +18,12 @@ from cloud_transformers_tpu.nn.conv_blocks import (
     max_pool_nd,
 )
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
-from cloud_transformers_tpu.nn.multihead import MultiHeadPool, MultiHeadUnion, _bn
+from cloud_transformers_tpu.nn.multihead import (
+    MultiHeadPool,
+    MultiHeadUnion,
+    _bn,
+    remat_save_policy,
+)
 from cloud_transformers_tpu.nn.precision import MXUDense
 from cloud_transformers_tpu.parallel.constrain import constrain_batch
 
@@ -85,12 +90,19 @@ class MHCTTrunk(nn.Module):
     scan: bool = True
     repeats: int = 4
     stage_plan: tuple = DEFAULT_STAGE_PLAN
+    # 'point_io': save the small per-point tensors (mapping / values / slice
+    # outputs, named ct_point_io in nn/multihead.py) so the block backward
+    # recomputes ONLY the splat — the grouped-conv forward recompute (the
+    # most expensive rematerialized op) drops out of every backward stage for
+    # a few hundred MB of residuals.  'full' rematerializes everything.
+    remat_policy: str = "point_io"
 
     @nn.compact
     def __call__(self, x, pcd, pts_mask, train=True):
         cell = MHCTStage
         if self.remat:
-            cell = nn.remat(cell, prevent_cse=False)
+            cell = nn.remat(cell, prevent_cse=False,
+                            policy=remat_save_policy(self.remat_policy))
         if not self.scan:
             stats = []
             for r in range(self.repeats):
@@ -135,6 +147,7 @@ class ClassifierBackbone(nn.Module):
     model_dim: int = 512
     scales: bool = False
     remat: bool = True
+    remat_policy: str = "point_io"   # see MHCTTrunk.remat_policy
     repeats: int = 4
     stage_plan: tuple = DEFAULT_STAGE_PLAN
     pool_heads: int = 16
@@ -149,7 +162,9 @@ class ClassifierBackbone(nn.Module):
         x = nn.relu(_bn(train, name="stem_bn")(x))
 
         x, stats = MHCTTrunk(model_dim=self.model_dim, scales=self.scales,
-                             remat=self.remat, repeats=self.repeats,
+                             remat=self.remat,
+                             remat_policy=self.remat_policy,
+                             repeats=self.repeats,
                              stage_plan=self.stage_plan, name="trunk")(
             x, pcd, None, train)
 
@@ -201,6 +216,7 @@ class Classifier(nn.Module):
     model_dim: int = 512
     scales: bool = False
     remat: bool = True
+    remat_policy: str = "point_io"   # see MHCTTrunk.remat_policy
     repeats: int = 4
     stage_plan: tuple = DEFAULT_STAGE_PLAN
     pool_heads: int = 16
@@ -214,6 +230,7 @@ class Classifier(nn.Module):
     def __call__(self, pcd, train=True):
         res, pooled, stats = ClassifierBackbone(
             model_dim=self.model_dim, scales=self.scales, remat=self.remat,
+            remat_policy=self.remat_policy,
             repeats=self.repeats, stage_plan=self.stage_plan,
             pool_heads=self.pool_heads,
             pool_feature_dims=self.pool_feature_dims,

@@ -64,12 +64,15 @@ class AdaInDecoder(nn.Module):
     model_dim: int = 512
     remat: bool = True
     repeats: int = 4
+    remat_policy: str = "point_io"  # see MHCTTrunk.remat_policy
 
     @nn.compact
     def __call__(self, x, z, keys_xyz, train=True):
+        from cloud_transformers_tpu.nn.multihead import remat_save_policy
         cell = AdaInStage
         if self.remat:
-            cell = nn.remat(cell, prevent_cse=False)
+            cell = nn.remat(cell, prevent_cse=False,
+                            policy=remat_save_policy(self.remat_policy))
         scan = nn.scan(
             cell,
             variable_axes={"params": 0, "batch_stats": 0},

@@ -17,8 +17,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
-from cloud_transformers_tpu.core.grid_mapping import grid_mapping
+from cloud_transformers_tpu.core.grid_mapping import GridMapping, grid_mapping
 from cloud_transformers_tpu.core.splat_slice import (
     splat_max_mapping,
     slice_grid_mapping,
@@ -56,6 +57,21 @@ def spatial_to_grid(x, heads):
     return x.reshape(b, g, heads, c // heads).transpose(0, 2, 1, 3)
 
 
+def remat_save_policy(name: str = "point_io"):
+    """Checkpoint policy for the remat'd MHCT stages.
+
+    ``point_io`` saves only the per-point tensors named ``ct_point_io``
+    (grid mapping, splat values, slice outputs — a few MB per block) so the
+    stage backward recomputes just the splat kernel; the grouped-conv
+    forward (the dominant rematerialized cost) is never recomputed because
+    its output is only consumed by the saved slice.  ``full`` (or None)
+    keeps classic full rematerialization."""
+    if name in (None, "full", "none"):
+        return None
+    assert name == "point_io", name
+    return jax.checkpoint_policies.save_only_these_names("ct_point_io")
+
+
 def _bn(train, scale_init=nn.initializers.ones, name=None):
     """BatchNorm with torch hyperparameters (momentum 0.1 -> flax 0.9) and
     torch running-stat semantics (unbiased running var — nn/norm.py)."""
@@ -89,7 +105,10 @@ class GridKeysValues(nn.Module):
                                             name="transform")
         keys = transform(keys3)  # [B, P, H, dim]
         lattice = jnp.tanh(keys)
-        return lattice, keys, values
+        # named for the selective remat policy (MHCTTrunk): saving the small
+        # per-point tensors lets the block backward skip the grouped-conv
+        # forward recompute entirely — only the splat is recomputed
+        return lattice, keys, checkpoint_name(values, "ct_point_io")
 
 
 def head_stats(grid, keys, in_feature_dim, heads):
@@ -126,6 +145,8 @@ class MultiHead(nn.Module):
             in_feature_dim=f, tensor_dim=dim, heads=h, scales=self.scales,
             name="kv")(x, orig_pcd, train)
         mapping = grid_mapping(lattice, sizes, dim)
+        mapping = GridMapping(*(checkpoint_name(a, "ct_point_io")
+                                for a in mapping))
         # grids stay in the Pallas kernel layout between splat, conv and
         # slice — one fused conversion per conv boundary (core/splat_slice)
         gk = splat_max_mapping_k(mapping, values, sizes, pts_mask=pts_mask)
@@ -138,6 +159,7 @@ class MultiHead(nn.Module):
 
         out = slice_grid_mapping_k(mapping, gk2, sizes, f,
                                    pts_mask=pts_mask)
+        out = checkpoint_name(out, "ct_point_io")
         out = nn.relu(_bn(train, name="after_bn")(out))
         if return_lattice:
             return (out, lattice), stats

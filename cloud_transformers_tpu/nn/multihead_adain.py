@@ -13,8 +13,9 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
-from cloud_transformers_tpu.core.grid_mapping import grid_mapping
+from cloud_transformers_tpu.core.grid_mapping import GridMapping, grid_mapping
 from cloud_transformers_tpu.core.splat_slice import (
     splat_max_mapping_k,
     slice_grid_mapping_k,
@@ -66,6 +67,11 @@ class MultiHeadAdaIn(nn.Module):
         lattice = jnp.tanh(keys)
 
         mapping = grid_mapping(lattice, sizes, dim)
+        # named for the selective remat policy (see nn/multihead.py): the
+        # decoder block backward then recomputes only the splat, not the conv
+        mapping = GridMapping(*(checkpoint_name(a, "ct_point_io")
+                                for a in mapping))
+        values = checkpoint_name(values, "ct_point_io")
         gk = splat_max_mapping_k(mapping, values, sizes)
         stats = head_stats(gk, keys, f, h)
 
@@ -75,6 +81,7 @@ class MultiHeadAdaIn(nn.Module):
         gk2 = spatial_to_gridk(gs, h, sizes, f)
 
         out = slice_grid_mapping_k(mapping, gk2, sizes, f)
+        out = checkpoint_name(out, "ct_point_io")
         out = nn.relu(AdaIn1d(h * f, name="after_adain")(out, z))
         if return_lattice:
             return (out, lattice), stats

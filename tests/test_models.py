@@ -85,3 +85,39 @@ def test_reconstructor_forward(keys):
     out, stats = model.apply(variables, noise, img, train=False)
     assert out.shape == (1, P, 3)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+@pytest.mark.slow
+def test_remat_policy_grad_parity():
+    """The 'point_io' selective remat policy (save mapping/values/slice-out,
+    recompute only the splat in the stage backward) must be numerically
+    identical to full rematerialization."""
+    from cloud_transformers_tpu.models.classifier import TINY_STAGE_PLAN
+
+    kw = dict(n_classes=5, model_dim=32, repeats=2, stage_plan=TINY_STAGE_PLAN,
+              pool_heads=2, pool_feature_dims=(4, 4), pool_sizes=(4, 8),
+              trunk_width=4, class_dim=32, mask_dim=16)
+    pcd = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 3))
+
+    def grads_for(policy):
+        m = get_model("scanobject_classifier", remat_policy=policy, **kw)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, pcd, train=True)
+
+        def loss(p):
+            out, _ = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, pcd,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return out[0].sum() + out[1].sum()
+
+        with jax.default_matmul_precision("highest"):
+            return jax.jit(jax.grad(loss))(v["params"])
+
+    leaves_f = jax.tree_util.tree_leaves(grads_for("full"))
+    leaves_p = jax.tree_util.tree_leaves(grads_for("point_io"))
+    assert len(leaves_f) == len(leaves_p)
+    scale = max(float(jnp.max(jnp.abs(a))) for a in leaves_f)
+    worst = max(float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(leaves_f, leaves_p))
+    assert worst < 1e-5 * max(1.0, scale), (worst, scale)
