@@ -13,8 +13,9 @@ Resilience: this machine's TPU tunnel can hang for hours (ROADMAP known-gap
 #5) and first compiles are minutes.  Each section therefore runs in its own
 bounded subprocess; a section that hangs or dies is reported as null and the
 headline line still prints from whatever completed.  Section results are
-cached in /tmp between invocations of the same git tree state, so a re-run
-after a mid-bench tunnel drop resumes instead of recompiling everything.
+cached in .bench_cache/ keyed on the working-tree state (HEAD + status +
+diff), so a re-run after a mid-bench tunnel drop resumes instead of
+recompiling everything; stale fallbacks are tagged with their source rev.
 """
 
 import json
@@ -31,6 +32,12 @@ import numpy as np
 # restarts, the exact failure mode of the round-1 multichip dryrun).
 
 
+# accumulated per-process timing attribution: compile seconds (first-call
+# wall inside measure(), which includes trace+compile) and steady-state run
+# seconds — surfaced per section in the bench JSON (round-3 VERDICT #5)
+_ATTRIB = {"compile_s": 0.0, "run_s": 0.0}
+
+
 def measure(fn, *args, iters=20, warmup=3):
     """Time fn. Completion is forced by a host readback of a dependent
     scalar — on this platform's tunneled runtime, block_until_ready can
@@ -42,14 +49,21 @@ def measure(fn, *args, iters=20, warmup=3):
         leaf = jax.tree_util.tree_leaves(out)[0]
         np.asarray(jnp.sum(leaf))
 
-    for _ in range(warmup):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    sync(out)
+    first = time.perf_counter() - t0
+    for _ in range(max(0, warmup - 1)):
         out = fn(*args)
     sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
     sync(out)
-    return (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / iters
+    _ATTRIB["compile_s"] += max(0.0, first - dt)
+    _ATTRIB["run_s"] += dt * iters
+    return dt
 
 
 def bench_classifier_inference(batch=8, points=2048, mxu_dtype=None):
@@ -98,14 +112,17 @@ def bench_splat_slice(batch=8, points=2048, heads=16, feat=8, size=32):
     return batch * points * heads / dt / 1e6, dt
 
 
-def bench_reconstructor_inference(batch=8, points=8192, im=128):
+def bench_reconstructor_inference(batch=8, points=8192, im=128,
+                                  mxu_dtype="bfloat16"):
     """Image->cloud reconstructor forward (ResNet50 + AdaIN decoder) with
-    the bf16 MXU policy — the model family that benefits from it most."""
+    the bf16 MXU policy — the model family that benefits from it most.  The
+    f32 row (mxu_dtype=None) quantifies the policy's value where it should
+    pay (MXU-bound ResNet50 encoder)."""
     import jax
     from cloud_transformers_tpu.models import get_model
     from cloud_transformers_tpu.nn.precision import set_default_mxu_dtype
 
-    set_default_mxu_dtype("bfloat16")
+    set_default_mxu_dtype(mxu_dtype)
     try:
         model = get_model("image_reconstructor")
         noise = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3))
@@ -121,15 +138,17 @@ def bench_reconstructor_inference(batch=8, points=8192, im=128):
     return dt
 
 
-def bench_inpainter_inference(batch=2, points=16384, partial=2048):
+def bench_inpainter_inference(batch=2, points=16384, partial=2048,
+                              mxu_dtype="bfloat16"):
     """ShapeNet completion forward (noise [B,P,4] + partial -> cloud) at the
     reference protocol shapes (configs/inpainting.yaml: gt_size=16384,
-    input_size=2048, batch 2), bf16 MXU policy."""
+    input_size=2048, batch 2), bf16 MXU policy (f32 comparison row via
+    mxu_dtype=None)."""
     import jax
     from cloud_transformers_tpu.models import get_model
     from cloud_transformers_tpu.nn.precision import set_default_mxu_dtype
 
-    set_default_mxu_dtype("bfloat16")
+    set_default_mxu_dtype(mxu_dtype)
     try:
         model = get_model("completion_inpainter")
         noise = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 4))
@@ -167,9 +186,15 @@ SECTIONS = {
     "reconstructor": (
         "{'reconstructor_bf16_s_per_batch8': bench_reconstructor_inference()}",
         900),
+    "reconstructor_f32": (
+        "{'reconstructor_f32_s_per_batch8':"
+        " bench_reconstructor_inference(mxu_dtype=None)}", 900),
     "inpainter": (
         "{'inpainter_bf16_s_per_batch2_16k': bench_inpainter_inference()}",
         900),
+    "inpainter_f32": (
+        "{'inpainter_f32_s_per_batch2_16k':"
+        " bench_inpainter_inference(mxu_dtype=None)}", 900),
 }
 
 _MS_FIELDS = {  # seconds field -> reported milliseconds field
@@ -179,75 +204,114 @@ _MS_FIELDS = {  # seconds field -> reported milliseconds field
     "splat_slice_b32_s": ("splat_slice_b32_ms", 1e3),
     "reconstructor_bf16_s_per_batch8": ("reconstructor_bf16_ms_per_batch8",
                                         1e3),
+    "reconstructor_f32_s_per_batch8": ("reconstructor_f32_ms_per_batch8",
+                                       1e3),
     "inpainter_bf16_s_per_batch2_16k": ("inpainter_bf16_ms_per_batch2_16k",
                                         1e3),
+    "inpainter_f32_s_per_batch2_16k": ("inpainter_f32_ms_per_batch2_16k",
+                                       1e3),
 }
 
 
-def _cache_path(name):
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# repo-local, .gitignored cache dir (was predictable world-writable /tmp
+# names — a multi-user poisoning surface; round-3 ADVICE)
+_CACHE_DIR = os.path.join(_REPO, ".bench_cache")
+
+
+def _tree_state():
+    """Key the section cache on the WORKING TREE, not just HEAD: sha of
+    HEAD + `git status --porcelain` + `git diff`, so mid-round uncommitted
+    edits invalidate cached numbers (round-3 ADVICE)."""
     import hashlib
     import subprocess as sp
-    try:
-        tree = sp.run(["git", "rev-parse", "HEAD"], capture_output=True,
-                      text=True, cwd=os.path.dirname(os.path.abspath(__file__))
-                      ).stdout.strip()
-    except Exception:
-        tree = "unknown"
-    h = hashlib.sha1(tree.encode()).hexdigest()[:10]
-    return f"/tmp/ct_bench_{h}_{name}.json"
+
+    def git(*args):
+        try:
+            return sp.run(["git"] + list(args), capture_output=True,
+                          text=True, cwd=_REPO, timeout=30).stdout
+        except Exception:
+            return "?"
+
+    head = git("rev-parse", "HEAD").strip() or "unknown"
+    h = hashlib.sha1()
+    h.update(head.encode())
+    h.update(git("status", "--porcelain").encode())
+    h.update(git("diff", "HEAD").encode())
+    return head[:10], h.hexdigest()[:10]
+
+
+def _cache_path(tree_hash, name):
+    return os.path.join(_CACHE_DIR, f"{tree_hash}_{name}.json")
 
 
 def _stale_result(name):
-    """Newest result for this section from ANY rev (tunnel-down fallback),
-    marked stale rather than dropping the row entirely."""
+    """Newest result for this section from ANY tree state (tunnel-down
+    fallback).  Returns (result, source_rev) so the artifact records which
+    code version produced the number."""
     import glob
-    stale = sorted(glob.glob(f"/tmp/ct_bench_*_{name}.json"),
+    stale = sorted(glob.glob(os.path.join(_CACHE_DIR, f"*_{name}.json")),
                    key=os.path.getmtime)
     if stale:
         try:
             res = json.load(open(stale[-1]))
-            res["_stale"] = True
-            return res
+            return res, res.pop("_rev", "unknown")
         except Exception:
             pass
-    return None
+    return None, None
 
 
-def run_section(name, fresh=False, stale_ok=False):
-    """Run one bench section in a bounded subprocess; cache per git rev."""
+def run_section(name, tree, fresh=False, stale_ok=False):
+    """Run one bench section in a bounded subprocess; cache per tree state.
+
+    Returns (result_fields, status, timing) where status is one of
+    'ran' / 'cached' / 'stale@<rev>' / 'FAIL' / 'TIMEOUT' and timing is
+    {'wall': s, 'compile': s, 'run': s} for fresh runs (None otherwise)."""
     expr, tmo = SECTIONS[name]
-    cpath = _cache_path(name)
+    head, tree_hash = tree
+    cpath = _cache_path(tree_hash, name)
     if not fresh and os.path.exists(cpath):
         try:
-            return json.load(open(cpath))
+            res = json.load(open(cpath))
+            res.pop("_rev", None)
+            return res, "cached", None
         except Exception:
             pass
     if stale_ok:  # tunnel dead — don't even try to run
-        return _stale_result(name)
+        res, rev = _stale_result(name)
+        return res, (f"stale@{rev}" if res else "FAIL"), None
     code = (
         "import json, sys\n"
         "sys.path.insert(0, %r)\n"
         "from bench import *\n"
         "res = %s\n"
+        "res['_attrib'] = dict(_ATTRIB)\n"
         "print('BENCH_RESULT ' + json.dumps(res))\n"
-    ) % (os.path.dirname(os.path.abspath(__file__)), expr)
+    ) % (_REPO, expr)
+    t0 = time.time()
     try:
         proc = subprocess.run([sys.executable, "-c", code],
                               capture_output=True, text=True, timeout=tmo)
     except subprocess.TimeoutExpired:
         print(f"# section {name}: TIMEOUT after {tmo}s", file=sys.stderr)
-        return None
+        return None, "TIMEOUT", None
+    wall = time.time() - t0
     for line in proc.stdout.splitlines():
         if line.startswith("BENCH_RESULT "):
             res = json.loads(line[len("BENCH_RESULT "):])
+            attrib = res.pop("_attrib", {})
+            timing = {"wall": round(wall, 1),
+                      "compile": round(attrib.get("compile_s", 0.0), 1),
+                      "run": round(attrib.get("run_s", 0.0), 1)}
             try:
-                json.dump(res, open(cpath, "w"))
+                os.makedirs(_CACHE_DIR, mode=0o700, exist_ok=True)
+                json.dump({**res, "_rev": head}, open(cpath, "w"))
             except Exception:
                 pass
-            return res
+            return res, "ran", timing
     print(f"# section {name}: rc={proc.returncode} "
           f"tail={proc.stderr[-400:]!r}", file=sys.stderr)
-    return None
+    return None, "FAIL", None
 
 
 def tunnel_alive(timeout=150):
@@ -271,14 +335,19 @@ def main():
     if not alive:
         print("# TPU tunnel unresponsive — reporting cached sections only",
               file=sys.stderr)
+    tree = _tree_state()
     fields = {}
     ran = []
+    timings = {}
     any_stale = False
     for name in (only or SECTIONS):
-        res = run_section(name, fresh=fresh and alive, stale_ok=not alive)
-        ran.append(name if res is not None else name + ":FAIL")
+        res, status, timing = run_section(name, tree, fresh=fresh and alive,
+                                          stale_ok=not alive)
+        ran.append(name if status == "ran" else f"{name}:{status}")
+        any_stale |= status.startswith("stale")
+        if timing:
+            timings[name] = timing
         if res:
-            any_stale |= bool(res.pop("_stale", False))
             fields.update(res)
 
     # seconds -> milliseconds presentation fields
@@ -295,12 +364,14 @@ def main():
     clouds_per_sec = fields.get("clouds_per_sec")
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
-    vs = 1.0
+    # vs_baseline is null when the headline metric is missing (round-3
+    # ADVICE: a 1.0 there misread as "parity")
+    vs = None
     if clouds_per_sec and os.path.exists(baseline_path):
         try:
             base = json.load(open(baseline_path))
             if base.get("value"):
-                vs = clouds_per_sec / float(base["value"])
+                vs = round(clouds_per_sec / float(base["value"]), 3)
         except Exception:
             pass
 
@@ -309,9 +380,10 @@ def main():
         "metric": "clouds/sec/chip (ScanObjectNN infer, bf16 prod config)",
         "value": round(clouds_per_sec, 1) if clouds_per_sec else None,
         "unit": "clouds/sec",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": vs,
         **out,
         "sections": ",".join(ran),
+        **({"sections_timing": timings} if timings else {}),
         **({"stale_cache": True} if any_stale else {}),
         "bench_wall_sec": round(time.time() - t_start, 1),
     }))

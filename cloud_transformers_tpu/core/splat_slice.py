@@ -8,8 +8,10 @@ Semantics (match the reference exactly — SURVEY.md §2.1 N4):
 * **Splat** is a scatter-**max** of weight-modulated point features into a
   zero-initialized flat grid.  The zero init clamps purely negative
   contributions to 0, and the gradient flows only to the winning (argmax)
-  contribution of each occupied cell (torch_scatter semantics; exact ties
-  share the cotangent here, a measure-zero deviation).
+  contribution of each occupied cell (torch_scatter semantics); exact ties
+  route to a SINGLE winner — the lowest point index — matching
+  torch_scatter's one-argmax routing (duplicated points, e.g. the KPConv
+  repeat-padding, tie systematically).
 
 * **Slice** gathers the grid values at each point's 2**dim enclosing cell
   vertices and takes the weight-weighted sum.
@@ -55,12 +57,31 @@ def _splat_core_fwd(pre, idx, grid_cells):
     return grid, (pre, idx, grid)
 
 
+def _winner_only(win, idx, grid_cells):
+    """Restrict a per-contribution win mask [R, K, F] to the single
+    lowest-index winner per (cell, feature) — torch_scatter routes the
+    max gradient to exactly one argmax contribution, and duplicated points
+    (the KPConv repeat-padding case) tie systematically.  Winner index per
+    cell via a segment-min (as max of the negated index; contribution
+    indices < 2**24 are exact in f32)."""
+    r, k, f = win.shape
+    kidx = jnp.arange(k, dtype=jnp.float32)[None, :, None]
+    kidx = jnp.broadcast_to(kidx, (r, k, f))
+    # segment max of (K - kidx): the zero-clamp inside segment_reduce_dense
+    # leaves cells without winners at 0, i.e. an out-of-range winner index K
+    score = jnp.where(win, k - kidx, -jnp.inf)
+    best = segment_reduce_dense(idx, score, grid_cells, op="max")
+    return win & (k - kidx == _gather_rows(best, idx))
+
+
 def _splat_core_bwd(grid_cells, res, g):
     pre, idx, grid = res
     winning_val = _gather_rows(grid, idx)  # [R, K, F]
     # gradient routes to the contribution that equals the cell max, and only
-    # where the max beat the zero init (chamfer of torch_scatter backward)
+    # where the max beat the zero init (chamfer of torch_scatter backward);
+    # exact ties break to the lowest contribution index (single winner)
     win = (pre == winning_val) & (winning_val > 0.0)
+    win = _winner_only(win, idx, grid_cells)
     d_pre = jnp.where(win, _gather_rows(g, idx), 0.0)
     return d_pre, None
 
@@ -236,6 +257,12 @@ def _splat_m_bwd_portable(sizes, x0, lane0, w_lo, w_hi, values, grid, g):
     gg = _gather_rows(g, idx2).reshape(r, k, s, -1)
     contrib = w[..., None] * values[:, :, None, :]
     win = (contrib == gmax) & (gmax > 0.0)
+    # single lowest-point-index winner per (cell, feature): a point's 8
+    # vertices land in 8 distinct cells, so flattening (K, S) point-major
+    # makes "lowest contribution index" == "lowest point index"
+    f = contrib.shape[-1]
+    win = _winner_only(win.reshape(r, k * s, f), idx2,
+                       int(_np.prod(sizes))).reshape(r, k, s, f)
     d_contrib = jnp.where(win, gg, 0.0)                # [R, K, 8, F]
     d_w = jnp.sum(d_contrib * values[:, :, None, :], axis=-1)  # [R, K, 8]
     d_values = jnp.sum(d_contrib * w[..., None], axis=2)       # [R, K, F]

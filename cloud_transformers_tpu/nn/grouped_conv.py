@@ -93,3 +93,32 @@ class GroupedConv(nn.Module):
         if bias is not None:
             out = out + bias
         return out
+
+
+class GridConvK(nn.Module):
+    """Grouped 3^dim 'same' conv executed DIRECTLY on the Pallas kernel-layout
+    grid [R=B*H, X*F_pad, lanes] (ops/pallas_grid_conv.py) — no layout
+    round-trip to [B, *spatial, H*F] (the boundary copies measured 24% of the
+    classifier forward, round-3 profile).
+
+    Parameter names and shapes are identical to ``GroupedConv`` (kernel
+    [*3^dim, F, H*F] grouped HWIO/DHWIO + bias [H*F]), so checkpoints and the
+    torch converter are unaffected.  Replaces the grouped conv of
+    reference layers/multihead_ct.py:50-65."""
+
+    feat: int
+    heads: int
+    sizes: Tuple[int, ...]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, gk):
+        from cloud_transformers_tpu.ops.pallas_grid_conv import grid_conv_k
+        dim = len(self.sizes)
+        f, h = self.feat, self.heads
+        kernel = self.param("kernel", torch_kernel_init(),
+                            (3,) * dim + (f, h * f))
+        fan_in = f * 3 ** dim
+        bias = (self.param("bias", torch_bias_init(fan_in), (h * f,))
+                if self.use_bias else None)
+        return grid_conv_k(gk, kernel, bias, self.sizes, f, h)

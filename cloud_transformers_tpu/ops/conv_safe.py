@@ -32,21 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _ambient_mesh():
-    try:
-        m = jax.sharding.get_abstract_mesh()
-        if m is not None and not m.empty:
-            return m
-    except Exception:
-        pass
-    try:
-        from jax._src.mesh import thread_resources
-        m = thread_resources.env.physical_mesh
-        if m is not None and not m.empty:
-            return m
-    except Exception:
-        pass
-    return None
+from cloud_transformers_tpu.parallel.constrain import _ambient_mesh
 
 
 def _mesh_is_multi_axis() -> bool:

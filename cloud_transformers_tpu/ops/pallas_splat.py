@@ -545,11 +545,15 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
     n_data = n_mask + 1
     data_refs = refs[:n_data]
     (grid_ref, g_ref, dwlo_ref, dwhi_ref, dval_ref,
-     tlo_s, thi_s, dval_s) = refs[n_data:]
+     tlo_s, thi_s, dval_s, g_buf) = refs[n_data:]
     window, windowed = _window_of(lanes, lane_offs)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
-    _ones_w = jnp.ones((window, 1), jnp.float32)
+    # tie-break: the cotangent buffer is CONSUMED as points claim it (the
+    # iteration is serial and in point order), so of several contributions
+    # equal to the cell max only the lowest-indexed point receives gradient
+    # — torch_scatter's single-argmax-winner routing (VERDICT r3 #6)
+    g_buf[:] = g_ref[:]
 
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
@@ -570,11 +574,10 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
                 win = pl.multiple_of(
                     jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
                 cur = grid_ref[0, rows, pl.ds(win, window)]
-                gg = g_ref[0, rows, pl.ds(win, window)]
+                gg = g_buf[0, rows, pl.ds(win, window)]
             else:
                 cur = grid_ref[0, rows, :]
-                gg = g_ref[0, rows, :]
-            # lo/hi halves kept separate — no per-point [2F, W] concat
+                gg = g_buf[0, rows, :]
             cur_lo, cur_hi = cur[:f_pad], cur[f_pad:]
             dcon_lo = jnp.where(
                 (vcol * m_lo[j:j + 1, :] == cur_lo) & (cur_lo > 0.0),
@@ -582,6 +585,12 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
             dcon_hi = jnp.where(
                 (vcol * m_hi[j:j + 1, :] == cur_hi) & (cur_hi > 0.0),
                 gg[f_pad:], 0.0)
+            # claim: zero the consumed cotangent so later tied points get 0
+            consumed = jnp.concatenate([dcon_lo, dcon_hi], axis=0)
+            if windowed:
+                g_buf[0, rows, pl.ds(win, window)] = gg - consumed
+            else:
+                g_buf[0, rows, :] = gg - consumed
             # per-point rows of sum_f v[f]*dcon[f, :]; the per-vertex lane
             # extraction happens once per tile below (stacked over T points —
             # 8 per-point lane reductions collapse into 8 per-tile ones)
@@ -671,7 +680,8 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
                    jax.ShapeDtypeStruct((r, k_pad, f_pad), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((tile, window), jnp.float32),
                         pltpu.VMEM((tile, window), jnp.float32),
-                        pltpu.VMEM((f_pad, tile), jnp.float32)],
+                        pltpu.VMEM((f_pad, tile), jnp.float32),
+                        pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -17,7 +17,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+
+def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+    """jax.shard_map (the jax.experimental.shard_map import is deprecated);
+    check_rep was renamed check_vma upstream."""
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=check_rep)
 
 from cloud_transformers_tpu.core.grid_mapping import GridMapping
 from cloud_transformers_tpu.core.splat_slice import (

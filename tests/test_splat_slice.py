@@ -167,3 +167,83 @@ class TestNoise:
                                                   axis=-1), 1.0, atol=1e-5)
         # parts has no zero rows
         assert not np.any(np.all(np.asarray(parts) == 0, axis=-1))
+
+
+class TestTieBreak:
+    """Exact duplicated points (the KPConv repeat-padding case,
+    s3dis_closer.py:325-337) tie on every cell they win; torch_scatter
+    routes the max gradient to exactly ONE argmax contribution.  Ours picks
+    the lowest point index, deterministically, on every backend path."""
+
+    def _dup_case(self, dim=3, dup_src=0, dup_dst=5, p=16, heads=2, feat=4):
+        import jax
+        key = jax.random.PRNGKey(7)
+        k1, k2, k3 = jax.random.split(key, 3)
+        sizes = (8,) * dim
+        keys = jnp.tanh(jax.random.normal(k1, (1, p, heads, dim)))
+        values = jax.random.normal(k2, (1, p, heads * feat))
+        keys = keys.at[:, dup_dst].set(keys[:, dup_src])
+        values = values.at[:, dup_dst].set(values[:, dup_src])
+        cot_shape = (1, heads, int(np.prod(sizes)), feat)
+        cot = jax.random.normal(k3, cot_shape)
+        return sizes, keys, values, cot
+
+    def _grads(self, sizes, keys, values, cot):
+        from cloud_transformers_tpu.core import grid_mapping, splat_max_mapping
+
+        def loss(values):
+            m = grid_mapping(keys, sizes, len(sizes))
+            grid = splat_max_mapping(m, values, sizes)
+            return jnp.sum(grid * cot)
+
+        return jax.grad(loss)(values)
+
+    @pytest.mark.parametrize("dim", [2, 3])
+    def test_duplicate_point_single_grad_path_kernel(self, dim):
+        """Default CPU path = interpret-mode Pallas backward (the kernel's
+        consume-the-cotangent tie-break)."""
+        sizes, keys, values, cot = self._dup_case(dim=dim)
+        g = self._grads(sizes, keys, values, cot)
+        # the duplicate (higher index) receives exactly zero gradient...
+        np.testing.assert_allclose(np.asarray(g[0, 5]), 0.0, atol=0)
+        # ...and the winner carries the full cotangent: grads match a run
+        # where the duplicate is masked out entirely
+        from cloud_transformers_tpu.core import grid_mapping, splat_max_mapping
+        mask = jnp.ones(values.shape[1]).at[5].set(0.0)[None]
+
+        def loss_masked(values):
+            m = grid_mapping(keys, sizes, len(sizes))
+            grid = splat_max_mapping(m, values, sizes, pts_mask=mask)
+            return jnp.sum(grid * cot)
+
+        g_masked = jax.grad(loss_masked)(values)
+        np.testing.assert_allclose(np.asarray(g[0, 0]),
+                                   np.asarray(g_masked[0, 0]), atol=1e-6)
+        assert float(jnp.abs(g[0, 0]).max()) > 0
+
+    @pytest.mark.parametrize("dim", [2, 3])
+    def test_duplicate_point_single_grad_path_portable(self, dim,
+                                                       monkeypatch):
+        """FORCE_XLA_PATH exercises the sorted-segment portable backward
+        (_splat_m_bwd_portable + _winner_only)."""
+        from cloud_transformers_tpu.core import splat_slice as ss
+        monkeypatch.setattr(ss, "FORCE_XLA_PATH", True)
+        sizes, keys, values, cot = self._dup_case(dim=dim)
+        g = self._grads(sizes, keys, values, cot)
+        np.testing.assert_allclose(np.asarray(g[0, 5]), 0.0, atol=0)
+        assert float(jnp.abs(g[0, 0]).max()) > 0
+
+    def test_duplicate_point_single_grad_path_core(self):
+        """splat_max (_splat_core segment path) with two equal contributions
+        in one cell: only the first gets the cotangent."""
+        w = jnp.ones((1, 3, 1, 1))
+        idx = jnp.asarray([[[[0]], [[0]], [[1]]]], jnp.int32)
+
+        def f(values):
+            grid = splat_max(w, idx, values, heads=1, grid_cells=2)
+            return jnp.sum(grid * jnp.asarray([3.0, 5.0])[None, None, :,
+                                                          None])
+
+        # points 0 and 1 tie at cell 0 with value 2.0; point 2 owns cell 1
+        g = jax.grad(f)(jnp.array([[[2.0], [2.0], [4.0]]]))
+        np.testing.assert_allclose(np.asarray(g), [[[3.0], [0.0], [5.0]]])
