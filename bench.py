@@ -283,9 +283,10 @@ def run_section(name, tree, fresh=False, stale_ok=False):
     code = (
         "import json, sys\n"
         "sys.path.insert(0, %r)\n"
+        "import bench\n"
         "from bench import *\n"
         "res = %s\n"
-        "res['_attrib'] = dict(_ATTRIB)\n"
+        "res['_attrib'] = dict(bench._ATTRIB)\n"
         "print('BENCH_RESULT ' + json.dumps(res))\n"
     ) % (_REPO, expr)
     t0 = time.time()

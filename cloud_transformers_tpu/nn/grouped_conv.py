@@ -95,16 +95,48 @@ class GroupedConv(nn.Module):
         return out
 
 
-class GridConvK(nn.Module):
-    """Grouped 3^dim 'same' conv executed DIRECTLY on the Pallas kernel-layout
-    grid [R=B*H, X*F_pad, lanes] (ops/pallas_grid_conv.py) — no layout
-    round-trip to [B, *spatial, H*F] (the boundary copies measured 24% of the
-    classifier forward, round-3 profile).
+# execution strategy for GridConvK: 'pallas' | 'xla' | 'auto' (per-shape
+# table measured on v5e — tools/grid_conv_bench.py); env override for benching
+_GRID_CONV_STRATEGY = None
 
-    Parameter names and shapes are identical to ``GroupedConv`` (kernel
-    [*3^dim, F, H*F] grouped HWIO/DHWIO + bias [H*F]), so checkpoints and the
-    torch converter are unaffected.  Replaces the grouped conv of
-    reference layers/multihead_ct.py:50-65."""
+
+def set_grid_conv_strategy(name):
+    """Force GridConvK's execution strategy ('pallas'/'xla'/'auto'/None)."""
+    global _GRID_CONV_STRATEGY
+    _GRID_CONV_STRATEGY = name
+
+
+def _grid_conv_strategy():
+    import os
+    return (_GRID_CONV_STRATEGY
+            or os.environ.get("CT_GRID_CONV", None) or "auto")
+
+
+def _pallas_wins(sizes, feat):
+    """Per-shape dispatch measured on v5e (tools/grid_conv_bench.py): the
+    kernel-layout Pallas conv wins on 3D grids with enough x rows to amortize
+    its per-row loop; 2D grids (lanes = y only, tiny matmuls) and tiny 3D
+    grids stay on the XLA grouped conv + boundary conversions."""
+    return len(sizes) == 3 and sizes[0] >= 16
+
+
+class GridConvK(nn.Module):
+    """Grouped 3^dim 'same' conv on the Pallas kernel-layout grid
+    [R=B*H, X*F_pad, lanes].
+
+    Two execution strategies with IDENTICAL parameters (kernel
+    [*3^dim, F, H*F] grouped HWIO/DHWIO + bias [H*F], as in ``GroupedConv``,
+    so checkpoints and the torch converter are unaffected):
+
+    - 'pallas': ops/pallas_grid_conv.py — conv directly in the kernel
+      layout, no boundary copies (the copies measured 24% of the classifier
+      forward in round 3).
+    - 'xla': layout round-trip to [B, *spatial, H*F] + block-diagonal dense
+      XLA conv (the round-3 shipped path).
+
+    'auto' (default) picks per grid shape from measurements
+    (tools/grid_conv_bench.py).  Replaces the grouped conv of reference
+    layers/multihead_ct.py:50-65."""
 
     feat: int
     heads: int
@@ -114,6 +146,8 @@ class GridConvK(nn.Module):
     @nn.compact
     def __call__(self, gk):
         from cloud_transformers_tpu.ops.pallas_grid_conv import grid_conv_k
+        from cloud_transformers_tpu.core.splat_slice import (
+            gridk_to_spatial, spatial_to_gridk)
         dim = len(self.sizes)
         f, h = self.feat, self.heads
         kernel = self.param("kernel", torch_kernel_init(),
@@ -121,4 +155,28 @@ class GridConvK(nn.Module):
         fan_in = f * 3 ** dim
         bias = (self.param("bias", torch_bias_init(fan_in), (h * f,))
                 if self.use_bias else None)
-        return grid_conv_k(gk, kernel, bias, self.sizes, f, h)
+
+        strategy = _grid_conv_strategy()
+        if strategy == "auto":
+            strategy = ("pallas" if _pallas_wins(self.sizes, f) else "xla")
+        if strategy == "pallas":
+            return grid_conv_k(gk, kernel, bias, self.sizes, f, h)
+
+        # 'xla': boundary conversions + block-diagonal dense conv
+        b = gk.shape[0] // h
+        gs = gridk_to_spatial(gk, b, self.sizes, f)
+        k4 = kernel.reshape(kernel.shape[:-2] + (f, h, f))
+        eye = jnp.eye(h, dtype=kernel.dtype)
+        dense = jnp.einsum("...cgo,hg->...hcgo", k4, eye)
+        dense = dense.reshape(kernel.shape[:-2] + (h * f, h * f))
+        dn = (("NHWC", "HWIO", "NHWC") if dim == 2
+              else ("NDHWC", "DHWIO", "NDHWC"))
+        xq, kq = precision.cast_operands(precision.resolve(None), gs, dense)
+        out = jax.lax.conv_general_dilated(
+            xq, kq, window_strides=(1,) * dim, padding=[(1, 1)] * dim,
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                gs.shape, dense.shape, dn), feature_group_count=1)
+        out = out.astype(jnp.float32)
+        if bias is not None:
+            out = out + bias
+        return spatial_to_gridk(out, h, self.sizes, f)

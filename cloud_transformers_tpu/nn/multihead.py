@@ -28,7 +28,7 @@ from cloud_transformers_tpu.core.splat_slice import (
     gridk_to_spatial,
     spatial_to_gridk,
 )
-from cloud_transformers_tpu.nn.grouped_conv import GroupedConv
+from cloud_transformers_tpu.nn.grouped_conv import GridConvK, GroupedConv
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.transforms import VolTransformer, PlaneTransformer
 from cloud_transformers_tpu.nn.precision import MXUDense
@@ -147,15 +147,14 @@ class MultiHead(nn.Module):
         mapping = grid_mapping(lattice, sizes, dim)
         mapping = GridMapping(*(checkpoint_name(a, "ct_point_io")
                                 for a in mapping))
-        # grids stay in the Pallas kernel layout between splat, conv and
-        # slice — one fused conversion per conv boundary (core/splat_slice)
+        # grids stay in the Pallas kernel layout through splat, conv AND
+        # slice — the grouped conv runs directly on the kernel layout
+        # (ops/pallas_grid_conv.py), eliminating the boundary copies that
+        # measured 24% of the classifier forward in round 3
         gk = splat_max_mapping_k(mapping, values, sizes, pts_mask=pts_mask)
         stats = head_stats(gk, keys, f, h)
 
-        gs = gridk_to_spatial(gk, x.shape[0], sizes, f)
-        gs = GroupedConv(h * f, kernel_size=(3,) * dim, padding=1,
-                         groups=h, use_bias=True, name="conv")(gs)
-        gk2 = spatial_to_gridk(gs, h, sizes, f)
+        gk2 = GridConvK(feat=f, heads=h, sizes=sizes, name="conv")(gk)
 
         out = slice_grid_mapping_k(mapping, gk2, sizes, f,
                                    pts_mask=pts_mask)

@@ -22,7 +22,7 @@ from cloud_transformers_tpu.core.splat_slice import (
     gridk_to_spatial,
     spatial_to_gridk,
 )
-from cloud_transformers_tpu.nn.grouped_conv import GroupedConv
+from cloud_transformers_tpu.nn.grouped_conv import GridConvK
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.multihead import (
     TensorSize,
@@ -75,10 +75,7 @@ class MultiHeadAdaIn(nn.Module):
         gk = splat_max_mapping_k(mapping, values, sizes)
         stats = head_stats(gk, keys, f, h)
 
-        gs = gridk_to_spatial(gk, b, sizes, f)
-        gs = GroupedConv(h * f, kernel_size=(3,) * dim, padding=1,
-                         groups=h, use_bias=True, name="conv")(gs)
-        gk2 = spatial_to_gridk(gs, h, sizes, f)
+        gk2 = GridConvK(feat=f, heads=h, sizes=sizes, name="conv")(gk)
 
         out = slice_grid_mapping_k(mapping, gk2, sizes, f)
         out = checkpoint_name(out, "ct_point_io")

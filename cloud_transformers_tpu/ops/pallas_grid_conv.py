@@ -214,6 +214,238 @@ def pallas_grid_conv_dw(gk, g, sizes, feat, heads, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# 2D variant: block-banded matmuls instead of a per-x-row loop.
+#
+# The v1 kernel above issues one small matmul per x row — fine on 3D grids
+# (lanes = Y*Z is wide, enough work per row) but instruction-issue-bound on
+# 2D grids (lanes = Y only; at 128x128/F=4 it lost 2.4x to the XLA conv,
+# tools/grid_conv_bench.py).  Here the dx stencil is folded into a
+# PRECOMPUTED block-banded matrix M per dy tap:
+#
+#   M[dy][xb*F_pad + fo, (xb+dx)*F_pad + fi] = W[dx, dy, fi, fo]
+#
+# so a whole BLK-row tile of output is ONE MXU matmul per tap against a
+# contiguous slab of the tap-rolled padded grid:
+#
+#   out[tile i] = sum_dy M[dy] @ T_dy[i*BLK*F_pad : (i*BLK+BLK+2)*F_pad, :]
+#
+# where T_dy = lane-rolled, boundary-masked copies of the zero-padded grid,
+# built once per batch row (3 full-grid rolls instead of 3*X slab rolls).
+# The (BLK+2)/3 MAC overhead of the band zeros is free on the MXU relative
+# to the issue-bound loop it replaces.
+# ---------------------------------------------------------------------------
+
+
+def _blk2d(x_dim, f_pad):
+    """Largest tile of x rows such that BLK*F_pad <= 128 and BLK | X."""
+    b = max(1, min(x_dim, 128 // f_pad))
+    while x_dim % b:
+        b -= 1
+    return b
+
+
+def _grid_conv2d_kernel(gk_ref, m_ref, b_ref, out_ref, pad_ref, t_ref, *,
+                        sizes, x_dim, f_pad, lanes, lane_extent, blk):
+    shifts = _tap_shifts(sizes)
+    masks, valid_out = _tap_masks(sizes, lanes, lane_extent)
+
+    pad_ref[0:f_pad, :] = jnp.zeros((f_pad, lanes), jnp.float32)
+    pad_ref[pl.ds((x_dim + 1) * f_pad, f_pad), :] = jnp.zeros(
+        (f_pad, lanes), jnp.float32)
+    pad_ref[pl.ds(f_pad, x_dim * f_pad), :] = gk_ref[0]
+
+    for t, (s, _, _) in enumerate(shifts):
+        rolled = (pltpu.roll(pad_ref[:], (-s) % lanes, axis=1)
+                  if s else pad_ref[:])
+        t_ref[t] = rolled * masks[t]
+
+    sbl = (blk + 2) * f_pad
+    bias = b_ref[0]                                   # [BLK*F_pad, 1]
+    for i in range(x_dim // blk):
+        x0 = i * blk * f_pad
+        acc = jnp.zeros((blk * f_pad, lanes), jnp.float32)
+        for t in range(len(shifts)):
+            acc += jax.lax.dot_general(
+                m_ref[0, t], t_ref[t, pl.ds(x0, sbl), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[0, pl.ds(x0, blk * f_pad), :] = (acc + bias) * valid_out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sizes", "feat", "heads", "interpret"))
+def pallas_grid_conv2d(gk, m_mats, b_tile, sizes, feat, heads,
+                       interpret=False):
+    """Banded grouped 'same' 3x3 conv on 2D kernel-layout grids.
+
+    Args:
+      gk: [R, X*F_pad, lanes] f32, R = B*heads (head-minor).
+      m_mats: [H, 3, BLK*F_pad, (BLK+2)*F_pad] banded tap matrices
+        (``pack_m2d``).
+      b_tile: [H, BLK*F_pad, 1] bias tiled per x row block.
+    """
+    r = gk.shape[0]
+    x_dim, lane_extent, lanes, f_pad = kernel_grid_dims(sizes, feat)
+    blk = _blk2d(x_dim, f_pad)
+    sbl = (blk + 2) * f_pad
+    h = heads
+
+    kernel = functools.partial(
+        _grid_conv2d_kernel, sizes=tuple(sizes), x_dim=x_dim, f_pad=f_pad,
+        lanes=lanes, lane_extent=lane_extent, blk=blk)
+    return pl.pallas_call(
+        kernel,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, x_dim * f_pad, lanes), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, blk * f_pad, sbl),
+                         lambda i: (i % h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk * f_pad, 1), lambda i: (i % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, x_dim * f_pad, lanes),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, x_dim * f_pad, lanes),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(((x_dim + 2) * f_pad, lanes), jnp.float32),
+            pltpu.VMEM((3, (x_dim + 2) * f_pad, lanes), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(gk, m_mats, b_tile)
+
+
+def _grid_conv2d_dm_kernel(gk_ref, g_ref, dm_ref, pad_ref, t_ref, *,
+                           sizes, x_dim, f_pad, lanes, lane_extent, blk):
+    shifts = _tap_shifts(sizes)
+    masks, valid_out = _tap_masks(sizes, lanes, lane_extent)
+    b_idx = pl.program_id(1)
+    sbl = (blk + 2) * f_pad
+
+    pad_ref[0:f_pad, :] = jnp.zeros((f_pad, lanes), jnp.float32)
+    pad_ref[pl.ds((x_dim + 1) * f_pad, f_pad), :] = jnp.zeros(
+        (f_pad, lanes), jnp.float32)
+    pad_ref[pl.ds(f_pad, x_dim * f_pad), :] = gk_ref[0]
+    for t, (s, _, _) in enumerate(shifts):
+        rolled = (pltpu.roll(pad_ref[:], (-s) % lanes, axis=1)
+                  if s else pad_ref[:])
+        t_ref[t] = rolled * masks[t]
+
+    accs = [jnp.zeros((blk * f_pad, sbl), jnp.float32)
+            for _ in range(len(shifts))]
+    for i in range(x_dim // blk):
+        x0 = i * blk * f_pad
+        g_blk = g_ref[0, pl.ds(x0, blk * f_pad), :] * valid_out
+        for t in range(len(shifts)):
+            accs[t] += jax.lax.dot_general(
+                g_blk, t_ref[t, pl.ds(x0, sbl), :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    for t in range(len(shifts)):
+        @pl.when(b_idx == 0)
+        def _(t=t):
+            dm_ref[0, t] = accs[t]
+
+        @pl.when(b_idx > 0)
+        def _(t=t):
+            dm_ref[0, t] = dm_ref[0, t] + accs[t]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sizes", "feat", "heads", "interpret"))
+def pallas_grid_conv2d_dm(gk, g, sizes, feat, heads, interpret=False):
+    """Banded-matrix gradient: dM [H, 3, BLK*F_pad, (BLK+2)*F_pad] =
+    sum over the head's batch members and x tiles of
+    (masked cotangent tile) x (tap slab)^T; fold to the param layout with
+    ``unpack_dm2d``."""
+    r = gk.shape[0]
+    h = heads
+    b = r // h
+    x_dim, lane_extent, lanes, f_pad = kernel_grid_dims(sizes, feat)
+    blk = _blk2d(x_dim, f_pad)
+    sbl = (blk + 2) * f_pad
+
+    kernel = functools.partial(
+        _grid_conv2d_dm_kernel, sizes=tuple(sizes), x_dim=x_dim,
+        f_pad=f_pad, lanes=lanes, lane_extent=lane_extent, blk=blk)
+    spec_g = pl.BlockSpec((1, x_dim * f_pad, lanes),
+                          lambda hi, bi: (bi * h + hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(h, b),
+        in_specs=[spec_g, spec_g],
+        out_specs=pl.BlockSpec((1, 3, blk * f_pad, sbl),
+                               lambda hi, bi: (hi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, 3, blk * f_pad, sbl),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(((x_dim + 2) * f_pad, lanes), jnp.float32),
+            pltpu.VMEM((3, (x_dim + 2) * f_pad, lanes), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(gk, g)
+
+
+def pack_m2d(kernel, feat, heads, sizes):
+    """[3, 3, F, H*F] -> banded M [H, 3(dy), BLK*F_pad, (BLK+2)*F_pad]:
+    M[h, dy, xb*F_pad+fo, (xb+dx)*F_pad+fi] = kernel[dx, dy, fi, h*F+fo]."""
+    x_dim, _, _, f_pad = kernel_grid_dims(sizes, feat)
+    blk = _blk2d(x_dim, f_pad)
+    f, h = feat, heads
+    km = kernel.reshape(3, 3, f, h, f)              # [dx, dy, fi, h, fo]
+    m = jnp.zeros((h, 3, blk * f_pad, (blk + 2) * f_pad), kernel.dtype)
+    for dx in range(3):
+        blk_w = km[dx].transpose(2, 0, 3, 1)        # [h, dy, fo, fi]
+        for xb in range(blk):
+            m = m.at[:, :, xb * f_pad:xb * f_pad + f,
+                     (xb + dx) * f_pad:(xb + dx) * f_pad + f].set(blk_w)
+    return m
+
+
+def pack_m2d_transposed(kernel, feat, heads, sizes):
+    """Banded M of the TRANSPOSED conv (d_input backward): spatially
+    flipped, (fi, fo) roles swapped."""
+    f, h = feat, heads
+    km = kernel.reshape(3, 3, f, h, f)[::-1, ::-1]  # flip dx, dy
+    kt = km.transpose(0, 1, 4, 3, 2).reshape(3, 3, f, h * f)
+    return pack_m2d(kt, feat, heads, sizes)
+
+
+def unpack_dm2d(dm, feat, heads, sizes):
+    """Fold the band diagonals of dM back to the param layout
+    [3, 3, F, H*F]."""
+    x_dim, _, _, f_pad = kernel_grid_dims(sizes, feat)
+    blk = _blk2d(x_dim, f_pad)
+    f, h = feat, heads
+    dm6 = dm.reshape(h, 3, blk, f_pad, blk + 2, f_pad)
+    out = jnp.zeros((3, 3, f, h, f), dm.dtype)
+    for dx in range(3):
+        acc = 0
+        for xb in range(blk):
+            acc = acc + dm6[:, :, xb, :f, xb + dx, :f]  # [h, dy, fo, fi]
+        out = out.at[dx].set(acc.transpose(1, 3, 0, 2))  # [dy, fi, h, fo]
+    return out.reshape(3, 3, f, h * f)
+
+
+def pack_b2d(bias, feat, heads, sizes):
+    """[H*F] -> [H, BLK*F_pad, 1] (bias tiled per x row block)."""
+    x_dim, _, _, f_pad = kernel_grid_dims(sizes, feat)
+    blk = _blk2d(x_dim, f_pad)
+    b = pack_b(bias, feat, heads, sizes)            # [H, F_pad, 1]
+    return jnp.tile(b, (1, blk, 1))
+
+
+# ---------------------------------------------------------------------------
 # Weight packing between the flax param layout (grouped HWIO / DHWIO:
 # [*k, F_in, H*F_out], bias [H*F_out]) and the kernel's matrix layout.
 # ---------------------------------------------------------------------------
@@ -306,8 +538,30 @@ def _dispatch_dw(gk, g, sizes, feat, heads):
     )
 
 
+def _dispatch_conv2d(gk, m_mats, b_tile, sizes, feat, heads):
+    return jax.lax.platform_dependent(
+        gk, m_mats, b_tile,
+        tpu=lambda *a: pallas_grid_conv2d(*a, sizes, feat, heads),
+        default=lambda *a: pallas_grid_conv2d(*a, sizes, feat, heads,
+                                              interpret=True),
+    )
+
+
+def _dispatch_dm2d(gk, g, sizes, feat, heads):
+    return jax.lax.platform_dependent(
+        gk, g,
+        tpu=lambda *a: pallas_grid_conv2d_dm(*a, sizes, feat, heads),
+        default=lambda *a: pallas_grid_conv2d_dm(*a, sizes, feat, heads,
+                                                 interpret=True),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _grid_conv(sizes, feat, heads, gk, kernel, bias):
+    if len(sizes) == 2:
+        m = pack_m2d(kernel, feat, heads, sizes)
+        bt = pack_b2d(bias, feat, heads, sizes)
+        return _dispatch_conv2d(gk, m, bt, sizes, feat, heads)
     w_mat = pack_w(kernel, feat, heads, sizes)
     b_col = pack_b(bias, feat, heads, sizes)
     return _dispatch_conv(gk, w_mat, b_col, sizes, feat, heads)
@@ -320,13 +574,21 @@ def _grid_conv_fwd(sizes, feat, heads, gk, kernel, bias):
 def _grid_conv_bwd(sizes, feat, heads, res, g):
     gk, kernel = res
     x_dim, lane_extent, lanes, f_pad = kernel_grid_dims(sizes, feat)
-    # d_gk: transposed conv = same kernel, flipped/swapped weights, no bias
-    wT = pack_w_transposed(kernel, feat, heads, sizes)
-    zb = jnp.zeros((heads, f_pad, 1), jnp.float32)
-    d_gk = _dispatch_conv(g, wT, zb, sizes, feat, heads)
-    # d_kernel via the im2col x cotangent contraction
-    dw_mat = _dispatch_dw(gk, g, sizes, feat, heads)
-    d_kernel = unpack_dw(dw_mat, feat, heads, sizes)
+    if len(sizes) == 2:
+        blk = _blk2d(x_dim, f_pad)
+        mT = pack_m2d_transposed(kernel, feat, heads, sizes)
+        zb = jnp.zeros((heads, blk * f_pad, 1), jnp.float32)
+        d_gk = _dispatch_conv2d(g, mT, zb, sizes, feat, heads)
+        dm = _dispatch_dm2d(gk, g, sizes, feat, heads)
+        d_kernel = unpack_dm2d(dm, feat, heads, sizes)
+    else:
+        # d_gk: transposed conv = same kernel, flipped/swapped weights
+        wT = pack_w_transposed(kernel, feat, heads, sizes)
+        zb = jnp.zeros((heads, f_pad, 1), jnp.float32)
+        d_gk = _dispatch_conv(g, wT, zb, sizes, feat, heads)
+        # d_kernel via the im2col x cotangent contraction
+        dw_mat = _dispatch_dw(gk, g, sizes, feat, heads)
+        d_kernel = unpack_dw(dw_mat, feat, heads, sizes)
     # d_bias: reduce the masked cotangent over batch, x and valid lanes
     r = g.shape[0]
     b = r // heads
