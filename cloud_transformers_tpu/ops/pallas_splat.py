@@ -187,15 +187,23 @@ def _build_masks(lane_iota, rel, w_lo, w_hi, lane_offs):
     return m_lo, m_hi, hits
 
 
-# Point-data operand layouts, chosen by what the data feeds:
+# Point-data operand layouts — ALL point-side kernel inputs ride DENSE and
+# LANE-MAJOR, tiled [R, K/T, C, T] with points in the lane dim:
 #
-# * mask inputs (lane0 + 8 vertex weights) keep points in the SUBLANE dim —
-#   the per-tile mask build compares a [T, 1] column against the [T, W]
-#   lane iota.  Below _PACK_MIN_K they ride as three separate arrays (the
-#   direct [T, C] reads are cheapest); above it they pack into one
-#   [R, K, 9] buffer so the 128-lane padding is paid once, not three times
-#   (4 separate arrays exceed VMEM at K >= 8192) — per-tile lane extracts
-#   then cost ~1-2 ms/call, acceptable only at large K.
+# * mask payload (lane0 + 8 vertex weights) packs into ONE [R, K/T, 9, T]
+#   array ('tiled').  The round-3 sublane-major forms ('legacy': [R,K,1]
+#   lane0 / [R,K,4] weights) forced XLA to materialize 128x- and 32x-lane-
+#   padded copies feeding the custom call.  The mask build wants points in
+#   SUBLANES ([T,1] column vs the [T,W] lane iota), so each tile pays one
+#   in-kernel [9,T] -> [T,9] transpose.  Measured on v5e (R=128 K=2048 F=8,
+#   32^3), same process, both directions:
+#     standalone kernels: tiled LOSES 4-11% (splat 15.1->15.8 c/pt,
+#       splat_bwd 67->75) — the transpose costs more than the padded
+#       operand loads when the kernel is the whole program;
+#     classifier fwd batch8: tiled WINS 194 vs 208-215 ms — in the model
+#       the padded materializations live across custom_vjp/scan boundaries
+#       and XLA re-copies them (copy bucket fell 24% -> 5.4% of device
+#       time, tools/profile_breakdown.py).  Model wins; 'tiled' is default.
 #
 # * VALUES (and cotangents) go PRE-TILED as [R, K/T, F_pad, T]: the outer
 #   product per point wants features in sublanes / the point in lanes, and
@@ -204,13 +212,21 @@ def _build_masks(lane_iota, rel, w_lo, w_hi, lane_offs):
 #   once on the way in (cheap, bandwidth-bound), and the kernel reads tile
 #   t as a free [F_pad, T] leading-dim index.
 
+
+# A/B experiment knob: 'tiled' = one dense lane-major [R, K/T, 9, T]
+# payload + in-kernel [9,T]->[T,9] transpose; 'legacy' = the round-3
+# sublane-major operands ([R,K,1] lane0 + [R,K,4] weights / packed [R,K,9]),
+# which force padded XLA materializations.
+_PAYLOAD = "tiled"
 _PACK_MIN_K = 4096
 
 
-def _pack_payload(lane0, w_lo, w_hi):
-    """[R, K, 9]: [lane0, w_lo(4), w_hi(4)] — the mask-build payload."""
-    return jnp.concatenate(
+def _pack_payload(lane0, w_lo, w_hi, tile):
+    """[R, K/tile, 9, tile]: sublanes = [lane0, w_lo(4), w_hi(4)]."""
+    r, k = lane0.shape
+    pay = jnp.concatenate(
         [lane0.astype(jnp.float32)[..., None], w_lo, w_hi], axis=-1)
+    return pay.reshape(r, k // tile, tile, 9).transpose(0, 1, 3, 2)
 
 
 def _tile_values(values, tile):
@@ -220,10 +236,12 @@ def _tile_values(values, tile):
 
 
 def _point_args(lane0, w_lo, w_hi, values, tile):
-    """Point-data pallas operands: mask payload (+ tiled values)."""
-    k = lane0.shape[1]
-    if k >= _PACK_MIN_K:
-        pay = (_pack_payload(lane0, w_lo, w_hi),)
+    """Point-data pallas operands: tiled mask payload (+ tiled values)."""
+    if _PAYLOAD == "tiled":
+        pay = (_pack_payload(lane0, w_lo, w_hi, tile),)
+    elif lane0.shape[1] >= _PACK_MIN_K:
+        pay = (jnp.concatenate(
+            [lane0.astype(jnp.float32)[..., None], w_lo, w_hi], axis=-1),)
     else:
         pay = (lane0[..., None], w_lo, w_hi)
     if values is None:
@@ -231,14 +249,14 @@ def _point_args(lane0, w_lo, w_hi, values, tile):
     return pay + (_tile_values(values, tile),)
 
 
-def _n_mask_refs(k):
-    return 1 if k >= _PACK_MIN_K else 3
-
-
 def _point_specs(k, f_pad, tile, with_values=True):
     vm = lambda shape: pl.BlockSpec(shape, lambda bh: (bh, 0, 0),
                                     memory_space=pltpu.VMEM)
-    if k >= _PACK_MIN_K:
+    if _PAYLOAD == "tiled":
+        specs = [pl.BlockSpec((1, k // tile, 9, tile),
+                              lambda bh: (bh, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    elif k >= _PACK_MIN_K:
         specs = [vm((1, k, 9))]
     else:
         specs = [vm((1, k, 1)), vm((1, k, 4)), vm((1, k, 4))]
@@ -249,28 +267,38 @@ def _point_specs(k, f_pad, tile, with_values=True):
     return specs
 
 
-def _load_point_tile(data_refs, t, p0, T, f_pad=0):
+def _n_point_refs(k, with_values=True):
+    n = 1 if (_PAYLOAD == "tiled" or k >= _PACK_MIN_K) else 3
+    return n + (1 if with_values else 0)
+
+
+def _load_point_tile(data_refs, t, f_pad=0, tile=0):
     """-> (lane [T,1] int32, w_lo [T,4], w_hi [T,4], vt [F_pad,T] or None).
 
-    ``t`` is the tile index (values ref leading-dim), ``p0 = t*T``."""
+    ``t`` is the tile index (the payload/values refs' second dim)."""
     n_extra = 1 if f_pad else 0
-    if len(data_refs) - n_extra == 1:
-        pay = data_refs[0][0, pl.ds(p0, T), :]
+    if len(data_refs) - n_extra == 1 and data_refs[0].ndim == 4:
+        pay = data_refs[0][0, t].T                   # [9, T] -> [T, 9]
+        lane_t = pay[:, 0:1].astype(jnp.int32)
+        w_lo = pay[:, 1:5]
+        w_hi = pay[:, 5:9]
+    elif len(data_refs) - n_extra == 1:
+        pay = data_refs[0][0, pl.ds(pl.multiple_of(t * tile, tile), tile), :]
         lane_t = pay[:, 0:1].astype(jnp.int32)
         w_lo = pay[:, 1:5]
         w_hi = pay[:, 5:9]
     else:
-        lane_t = data_refs[0][0, pl.ds(p0, T), :]
-        w_lo = data_refs[1][0, pl.ds(p0, T), :]
-        w_hi = data_refs[2][0, pl.ds(p0, T), :]
+        p0 = pl.multiple_of(t * tile, tile)
+        lane_t = data_refs[0][0, pl.ds(p0, tile), :]
+        w_lo = data_refs[1][0, pl.ds(p0, tile), :]
+        w_hi = data_refs[2][0, pl.ds(p0, tile), :]
     vt = data_refs[-1][0, t] if f_pad else None
     return lane_t, w_lo, w_hi, vt
 
 
 def _splat_kernel(x0_ref, lane0_ref, *refs,
                   n_points, f_pad, lanes, lane_offs, op, tile, banks,
-                  n_mask):
-    n_data = n_mask + 1
+                  n_data):
     data_refs = refs[:n_data]
     out_ref = refs[n_data]
     scratch = refs[n_data + 1:]
@@ -284,9 +312,8 @@ def _splat_kernel(x0_ref, lane0_ref, *refs,
     comb = jnp.maximum if op == "max" else jnp.add
 
     def tile_body(t, _):
-        p0 = pl.multiple_of(t * T, T)
-        lane_t, wlo_t, whi_t, vt = _load_point_tile(
-            data_refs, t, p0, T, f_pad)
+        lane_t, wlo_t, whi_t, vt = _load_point_tile(data_refs, t, f_pad,
+                                                     tile)
         if windowed:
             rel = lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
         else:
@@ -367,7 +394,7 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
     kernel = functools.partial(
         _splat_kernel, n_points=k, f_pad=f_pad, lanes=lanes,
         lane_offs=lane_offs, op=op, tile=tile, banks=banks,
-        n_mask=_n_mask_refs(k))
+        n_data=_n_point_refs(k))
 
     out = pl.pallas_call(
         kernel,
@@ -445,9 +472,21 @@ def vertex_decomposition(keys_scaled, sizes):
 # Slice kernel: the gather-transpose of the splat (same mask machinery)
 # ---------------------------------------------------------------------------
 
+# Slice reduction strategy: 'point' = per-point VPU lane reduction into a
+# column scratch; 'tile_mxu' = write each point's [F_pad, window] product
+# into a [T*F_pad, window] scratch and reduce the WHOLE tile with one MXU
+# dot-with-ones (batching what the earlier per-point _LANE_REDUCE='mxu'
+# experiment could not).  Measured on v5e (R=128 K=2048 F=8): NO win —
+# 17.6 vs 17.6 c/pt on 32^3, 17.8 vs 17.8 on 16^3, 15.2 vs 16.2 on 2D —
+# the slice is bound by the per-point [2F_pad, window] grid reads + mask
+# build, not the reduction.  'tile_mxu' also miscompiles on real TPU (the
+# in-kernel [T*F_pad, 1] -> [T, F_pad] reshape; interpret mode is exact),
+# so it stays non-default, kept as the record of the rejected experiment.
+_SLICE_REDUCE = "point"
+
+
 def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
-                  lane_offs, tile, n_mask):
-    n_data = n_mask
+                  lane_offs, tile, n_data):
     data_refs = refs[:n_data]
     grid_ref = refs[n_data]
     out_ref = refs[n_data + 1]
@@ -455,10 +494,13 @@ def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
     window, windowed = _window_of(lanes, lane_offs)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
+    batched = _SLICE_REDUCE == "tile_mxu"
+    if batched:
+        ones = jnp.ones((window, 1), jnp.float32)
 
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
-        lane_t, wlo_t, whi_t, _ = _load_point_tile(data_refs, t, p0, T)
+        lane_t, wlo_t, whi_t, _ = _load_point_tile(data_refs, t, tile=tile)
         rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
                if windowed else lane_t)
         m_lo, m_hi, _ = _build_masks(lane_iota, rel, wlo_t, whi_t, lane_offs)
@@ -476,9 +518,18 @@ def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
                 cur = grid_ref[0, rows, :]
             prod = (cur[:f_pad] * m_lo[j:j + 1, :]
                     + cur[f_pad:] * m_hi[j:j + 1, :])
-            # column j of the tile's output, assembled in scratch
-            cols_ref[:, j:j + 1] = _lane_reduce(prod)
-        out_ref[0, pl.ds(p0, T), :] = cols_ref[:].T
+            if batched:
+                cols_ref[j * f_pad:(j + 1) * f_pad, :] = prod
+            else:
+                # column j of the tile's output, assembled in scratch
+                cols_ref[:, j:j + 1] = _lane_reduce(prod)
+        if batched:
+            col = jax.lax.dot_general(
+                cols_ref[:], ones, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [T*F_pad, 1]
+            out_ref[0, pl.ds(p0, T), :] = col.reshape(T, f_pad)
+        else:
+            out_ref[0, pl.ds(p0, T), :] = cols_ref[:].T
         return 0
 
     jax.lax.fori_loop(0, n_points // T, tile_body, 0)
@@ -511,7 +562,8 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False,
 
     kernel = functools.partial(
         _slice_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile, n_mask=_n_mask_refs(k_pad))
+        lane_offs=lane_offs, tile=tile,
+        n_data=_n_point_refs(k_pad, with_values=False))
     out = pl.pallas_call(
         kernel,
         grid=(r,),
@@ -527,7 +579,10 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False,
         out_specs=pl.BlockSpec((1, k_pad, f_pad), lambda bh: (bh, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, k_pad, f_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((f_pad, tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            (tile * f_pad, _window_of(lanes, lane_offs)[0])
+            if _SLICE_REDUCE == "tile_mxu" else (f_pad, tile),
+            jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -541,8 +596,7 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False,
 # ---------------------------------------------------------------------------
 
 def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
-                      n_points, f_pad, lanes, lane_offs, tile, n_mask):
-    n_data = n_mask + 1
+                      n_points, f_pad, lanes, lane_offs, tile, n_data):
     data_refs = refs[:n_data]
     (grid_ref, g_ref, dwlo_ref, dwhi_ref, dval_ref,
      tlo_s, thi_s, dval_s, g_buf) = refs[n_data:]
@@ -557,8 +611,8 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
 
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
-        lane_t, wlo_t, whi_t, vt = _load_point_tile(
-            data_refs, t, p0, T, f_pad)
+        lane_t, wlo_t, whi_t, vt = _load_point_tile(data_refs, t, f_pad,
+                                                     tile)
         rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
                if windowed else lane_t)
         m_lo, m_hi, hits = _build_masks(lane_iota, rel, wlo_t, whi_t,
@@ -658,7 +712,7 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
 
     kernel = functools.partial(
         _splat_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile, n_mask=_n_mask_refs(k_pad))
+        lane_offs=lane_offs, tile=tile, n_data=_n_point_refs(k_pad))
     spec_k = lambda shape: pl.BlockSpec(shape, lambda bh: (bh,) + (0,) * (
         len(shape) - 1), memory_space=pltpu.VMEM)
     dwlo, dwhi, dval = pl.pallas_call(
@@ -695,8 +749,7 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
 # ---------------------------------------------------------------------------
 
 def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
-                      lane_offs, tile, banks, n_mask):
-    n_data = n_mask + 1
+                      lane_offs, tile, banks, n_data):
     data_refs = refs[:n_data]
     grid_ref = refs[n_data]
     dgrid_ref, dwlo_ref, dwhi_ref = refs[n_data + 1:n_data + 4]
@@ -713,7 +766,7 @@ def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
         lane_t, wlo_t, whi_t, gt = _load_point_tile(
-            data_refs, t, p0, T, f_pad)               # gt = cotangents [F, T]
+            data_refs, t, f_pad, tile)                # gt = cotangents [F, T]
         rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
                if windowed else lane_t)
         m_lo, m_hi, hits = _build_masks(lane_iota, rel, wlo_t, whi_t,
@@ -796,7 +849,7 @@ def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
     kernel = functools.partial(
         _slice_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
         lane_offs=lane_offs, tile=tile, banks=banks,
-        n_mask=_n_mask_refs(k_pad))
+        n_data=_n_point_refs(k_pad))
     scratch = [pltpu.VMEM((tile, window), jnp.float32),
                pltpu.VMEM((tile, window), jnp.float32)]
     scratch += [pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32)
