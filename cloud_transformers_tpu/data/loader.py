@@ -52,22 +52,25 @@ class DataLoader:
             self.dataset.set_epoch(epoch)
 
     def __len__(self):
-        n = len(self.dataset) // self.process_count
+        gbs = self.batch_size * self.process_count
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return len(self.dataset) // gbs
+        return -(-len(self.dataset) // gbs)
 
     def _indices(self):
+        """The FULL shuffled (padded) index sequence — identical on every
+        process; per-process selection happens per batch in _build_batch."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        # pad so every process sees the same number of samples
-        per = -(-n // self.process_count)
-        if per * self.process_count > n:
-            idx = np.concatenate([idx, idx[: per * self.process_count - n]])
-        return idx[self.process_index::self.process_count]
+        # pad so every process sees the same number of full batches
+        gbs = self.batch_size * self.process_count
+        per = -(-n // gbs) * gbs if not self.drop_last else n
+        if per > n:
+            idx = np.concatenate([idx, idx[: per - n]])
+        return idx
 
     def _collate(self, items):
         out = {}
@@ -76,13 +79,23 @@ class DataLoader:
         return out
 
     def _build_batch(self, idx, b):
-        sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+        # process p takes the CONTIGUOUS rows [p*bs, (p+1)*bs) of global
+        # batch b: with the mesh's data axis ordered process-major
+        # (parallel/mesh.py + make_array_from_process_local_data), the
+        # assembled global batch is idx[b*gbs:(b+1)*gbs] in order — EXACTLY
+        # the single-process batch, so multi-process runs are step-for-step
+        # equivalent to single-process runs (tests/test_multiprocess.py).
+        # (torch's DistributedSampler interleaves rank::world instead; the
+        # sample SET per batch is the same either way.)
+        base = (b * self.process_count + self.process_index) * \
+            self.batch_size
+        sel = idx[base:base + self.batch_size]
         return self._collate([self.dataset[int(i)] for i in sel])
 
     def __iter__(self):
         idx = self._indices()
-        nb = len(idx) // self.batch_size if self.drop_last else \
-            -(-len(idx) // self.batch_size)
+        gbs = self.batch_size * self.process_count
+        nb = len(idx) // gbs if self.drop_last else -(-len(idx) // gbs)
 
         if self.num_workers > 1:
             # concurrent batch builders with a bounded in-flight window

@@ -26,8 +26,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_NEG = jnp.float32(-3.0e38)
+# plain float: a module-level jnp scalar would initialise the XLA
+# backend at import time, breaking jax.distributed.initialize in
+# the multi-host CLIs (parallel/distributed.py)
+_NEG = np.float32(-3.0e38)
 
 
 def _segmented_scan(cells, vals, combine_op):
@@ -61,7 +65,7 @@ def segment_reduce_dense(idx, vals, grid_cells, op="max"):
     """
     r, k, f = vals.shape
     g = grid_cells
-    identity = _NEG if op == "max" else jnp.float32(0.0)
+    identity = jnp.float32(_NEG if op == "max" else 0.0)
     combine = jnp.maximum if op == "max" else jnp.add
 
     # data sorts before its cell's query; the LSB doubles as the is-query bit

@@ -42,13 +42,24 @@ def data_sharding(mesh: Mesh, batch_axis: int = 0, points_axis: Optional[int] = 
 
 def shard_batch(mesh: Mesh, batch, points_axis: Optional[int] = None):
     """Device-put a pytree of host arrays with the batch dim sharded on
-    'data'."""
+    'data'.
+
+    Multi-process: each process passes its PROCESS-LOCAL batch shard (the
+    DataLoader shards the index space per process, data/loader.py) and the
+    global array is assembled with ``make_array_from_process_local_data`` —
+    the DistributedSampler+DDP equivalent.  Single-process ``device_put``
+    keeps the donation-friendly fast path."""
+    multiproc = jax.process_count() > 1
+
     def put(x):
         spec = [None] * x.ndim
         spec[0] = "data"
         if points_axis is not None and x.ndim > points_axis:
             spec[points_axis] = "points"
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        s = NamedSharding(mesh, P(*spec))
+        if multiproc:
+            return jax.make_array_from_process_local_data(s, x)
+        return jax.device_put(x, s)
 
     return jax.tree_util.tree_map(put, batch)
 

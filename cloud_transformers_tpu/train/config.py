@@ -34,7 +34,13 @@ def model_from_config(cfg):
     name = model_cfg.pop("generator", None) or model_cfg.pop("name")
     model_cfg.pop("name", None)
     set_default_mxu_dtype(model_cfg.pop("mxu_dtype", None))
-    return get_model(name, **model_cfg)
+
+    def tuplify(v):
+        # YAML yields lists; flax module fields are static metadata and
+        # must be hashable (e.g. stage_plan under nn.scan)
+        return tuple(tuplify(x) for x in v) if isinstance(v, list) else v
+
+    return get_model(name, **{k: tuplify(v) for k, v in model_cfg.items()})
 
 
 def experiment_dirs(cfg, exp_name, make=True):

@@ -27,8 +27,10 @@ def main():
     args = ap.parse_args()
 
     if args.coordinator:
-        jax.distributed.initialize(args.coordinator, args.num_processes,
-                                   args.process_id)
+        from cloud_transformers_tpu.parallel.distributed import (
+            distributed_init)
+        distributed_init(args.coordinator, args.num_processes,
+                         args.process_id)
 
     from cloud_transformers_tpu.tasks import classification
     from cloud_transformers_tpu.train.config import load_config, model_from_config

@@ -18,8 +18,10 @@ def main():
     ap.add_argument("--num-processes", type=int, default=None)
     args = ap.parse_args()
     if args.coordinator:
-        jax.distributed.initialize(args.coordinator, args.num_processes,
-                                   args.process_id)
+        from cloud_transformers_tpu.parallel.distributed import (
+            distributed_init)
+        distributed_init(args.coordinator, args.num_processes,
+                         args.process_id)
 
     from cloud_transformers_tpu.core.noise import partial_postprocess
     from cloud_transformers_tpu.tasks import completion

@@ -25,8 +25,10 @@ def main():
     ap.add_argument("--num-processes", type=int, default=None)
     args = ap.parse_args()
     if args.coordinator:
-        jax.distributed.initialize(args.coordinator, args.num_processes,
-                                   args.process_id)
+        from cloud_transformers_tpu.parallel.distributed import (
+            distributed_init)
+        distributed_init(args.coordinator, args.num_processes,
+                         args.process_id)
 
     from cloud_transformers_tpu.data import DataLoader
     from cloud_transformers_tpu.data.s3dis_kpconv import S3DISSeg
