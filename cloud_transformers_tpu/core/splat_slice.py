@@ -589,3 +589,115 @@ def slice_grid_mapping(mapping, grid, sizes, pts_mask=None):
     if pts_mask is not None:
         out = out * pts_mask[:, :, None].astype(out.dtype)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused block: splat -> grouped conv -> slice in ONE Pallas kernel
+# (ops/pallas_fused_block.py).  The forward keeps the grid resident in VMEM
+# between the three phases; the backward composes the three existing
+# backward kernels.  Replaces the whole MHCT hot loop of reference
+# layers/multihead_ct.py:50-65 per block.
+# ---------------------------------------------------------------------------
+
+
+def _fused_composed(sizes, feat, heads, x0, lane0, w_lo, w_hi, values,
+                    kernel, bias, want_gk2, interpret):
+    """Portable composition of the three ops (CPU / correctness anchor)."""
+    from cloud_transformers_tpu.ops.pallas_grid_conv import _grid_conv
+    gk = _scatter_generic_k(x0, lane0, w_lo, w_hi, values, sizes, "max")
+    gk2 = _grid_conv(sizes, feat, heads, gk, kernel, bias)
+    pts = _slice_mk(sizes, feat, x0, lane0, w_lo, w_hi, gk2)
+    if want_gk2:
+        return pts, gk, gk2
+    return pts, gk
+
+
+def _fused_dispatch(sizes, feat, heads, x0, lane0, w_lo, w_hi, values,
+                    kernel, bias, want_gk2):
+    from cloud_transformers_tpu.ops.pallas_fused_block import (
+        pallas_fused_block)
+    if FORCE_XLA_PATH:
+        return _fused_composed(sizes, feat, heads, x0, lane0, w_lo, w_hi,
+                               values, kernel, bias, want_gk2, False)
+    if PORTABLE_IMPL == "interpret":
+        def portable(*a):
+            return pallas_fused_block(*a, sizes, feat, heads,
+                                      want_gk2=want_gk2, interpret=True)
+    else:
+        def portable(x0, lane0, w_lo, w_hi, values, kernel, bias):
+            return _fused_composed(sizes, feat, heads, x0, lane0, w_lo,
+                                   w_hi, values, kernel, bias, want_gk2,
+                                   False)
+    return jax.lax.platform_dependent(
+        x0, lane0, w_lo, w_hi, values, kernel, bias,
+        tpu=lambda *a: pallas_fused_block(*a, sizes, feat, heads,
+                                          want_gk2=want_gk2),
+        default=portable,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_block_mk(sizes, feat, heads, x0, lane0, w_lo, w_hi, values,
+                    kernel, bias):
+    """-> (pts [R, K, F], gk kernel-layout).  gk feeds the occupancy stats
+    (and, under differentiation, the splat backward's winner routing)."""
+    return _fused_dispatch(sizes, feat, heads, x0, lane0, w_lo, w_hi,
+                           values, kernel, bias, want_gk2=False)
+
+
+def _fused_block_mk_fwd(sizes, feat, heads, x0, lane0, w_lo, w_hi, values,
+                        kernel, bias):
+    pts, gk, gk2 = _fused_dispatch(sizes, feat, heads, x0, lane0, w_lo,
+                                   w_hi, values, kernel, bias,
+                                   want_gk2=True)
+    return (pts, gk), (x0, lane0, w_lo, w_hi, values, kernel, gk, gk2)
+
+
+def _fused_block_mk_bwd(sizes, feat, heads, res, cots):
+    from cloud_transformers_tpu.ops.pallas_grid_conv import _grid_conv_bwd
+    from cloud_transformers_tpu.ops.pallas_splat import (
+        pallas_slice_bwd, pallas_splat_bwd)
+    x0, lane0, w_lo, w_hi, values, kernel, gk, gk2 = res
+    d_pts, d_gk_out = cots   # gk feeds stop_gradient stats; handle anyway
+
+    # slice backward: d_gk2 scatter-add + slice-side vertex-weight grads
+    _, _, d_wlo_s, d_whi_s, d_gk2 = _slice_mk_bwd(
+        sizes, feat, (x0, lane0, w_lo, w_hi, gk2), d_pts)
+    # conv backward (transposed conv + dW contraction + bias reduce)
+    d_gk_c, d_kernel, d_bias = _grid_conv_bwd(
+        sizes, feat, heads, (gk, kernel), d_gk2)
+    d_gk = d_gk_c + d_gk_out
+    # splat backward: winner-routed through gk
+    _, _, d_wlo_p, d_whi_p, d_values = _splat_mk_bwd(
+        sizes, (x0, lane0, w_lo, w_hi, values, gk), d_gk)
+    return (None, None, d_wlo_s + d_wlo_p, d_whi_s + d_whi_p, d_values,
+            d_kernel, d_bias)
+
+
+_fused_block_mk.defvjp(_fused_block_mk_fwd, _fused_block_mk_bwd)
+
+
+@partial(jax.jit, static_argnames=("sizes", "feat", "heads"))
+def fused_block_mk(mapping, values, kernel, bias, sizes, feat, heads,
+                   pts_mask=None):
+    """Mapping-based fused splat+conv+slice: values [B, P, H*F] ->
+    (out [B, P, H*F], gk kernel-layout [B*H, X*F_pad, lanes]).
+
+    Mask semantics match splat_max_mapping_k + slice_grid_mapping_k
+    (reference cloud_transform.py:158-159): masked points contribute zeros
+    to the splat and read back zeros from the slice."""
+    b, p, h = mapping.x0.shape
+    f = values.shape[-1] // h
+    v = values.reshape(b, p, h, f)
+    if pts_mask is not None:
+        v = v * pts_mask[:, :, None, None].astype(v.dtype)
+    v = v.transpose(0, 2, 1, 3).reshape(b * h, p, f)
+    x0, lane0, w_lo, w_hi = _flatten_mapping(mapping)
+    if bias is None:
+        bias = jnp.zeros((h * f,), jnp.float32)
+    pts, gk = _fused_block_mk(tuple(sizes), f, h, x0, lane0, w_lo, w_hi, v,
+                              kernel, bias)
+    out = pts.reshape(b, h, p, f).transpose(0, 2, 1, 3).reshape(b, p, h * f)
+    if pts_mask is not None:
+        out = out * pts_mask[:, :, None].astype(out.dtype)
+    return out, gk

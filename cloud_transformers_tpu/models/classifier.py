@@ -91,10 +91,10 @@ class MHCTTrunk(nn.Module):
     repeats: int = 4
     stage_plan: tuple = DEFAULT_STAGE_PLAN
     # 'point_io': save the small per-point tensors (mapping / values / slice
-    # outputs, named ct_point_io in nn/multihead.py) so the block backward
-    # recomputes ONLY the splat — the grouped-conv forward recompute (the
-    # most expensive rematerialized op) drops out of every backward stage for
-    # a few hundred MB of residuals.  'full' rematerializes everything.
+    # outputs, named ct_point_io in nn/multihead.py); the block backward
+    # recomputes the splat AND the grouped conv (see remat_save_policy).
+    # 'point_io_grids' additionally saves the two kernel-layout grids per
+    # block, trading memory for the recompute.  'full' remats everything.
     remat_policy: str = "point_io"
 
     @nn.compact

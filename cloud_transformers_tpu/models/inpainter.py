@@ -96,6 +96,8 @@ class Inpainter(nn.Module):
     num_latent: int = 512
     model_dim: int = 512
 
+    remat_policy: str = "point_io"  # see MHCTTrunk.remat_policy
+
     @nn.compact
     def __call__(self, noise, partial, train=True):
         z, enc_stats = CompletionEncoder(model_dim=self.model_dim,
@@ -108,7 +110,9 @@ class Inpainter(nn.Module):
                      kernel_init=torch_kernel_init(), name="start_conv")(noise)
         x = nn.relu(AdaIn1d(self.model_dim, name="start_adain")(x, z))
 
-        x, dec_stats = AdaInDecoder(model_dim=self.model_dim, name="decoder")(
+        x, dec_stats = AdaInDecoder(model_dim=self.model_dim,
+                                    remat_policy=self.remat_policy,
+                                    name="decoder")(
             x, z, noise[..., :3], train=train)
 
         # final head re-concats the noise channels (inpainter.py:157-162,182)

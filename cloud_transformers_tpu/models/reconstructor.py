@@ -22,6 +22,8 @@ class Reconstructor(nn.Module):
     num_latent: int = 512
     model_dim: int = 512
 
+    remat_policy: str = "point_io"  # see MHCTTrunk.remat_policy
+
     @nn.compact
     def __call__(self, noise, image, train=True):
         z = ResNet50Features(name="res50")(image, train=train)
@@ -33,7 +35,9 @@ class Reconstructor(nn.Module):
                      kernel_init=torch_kernel_init(), name="start_conv")(noise)
         x = nn.relu(AdaIn1d(self.model_dim, name="start_adain")(x, z))
 
-        x, stats = AdaInDecoder(model_dim=self.model_dim, name="decoder")(
+        x, stats = AdaInDecoder(model_dim=self.model_dim,
+                                remat_policy=self.remat_policy,
+                                name="decoder")(
             x, z, noise, train=train)
 
         x = MXUDense(self.model_dim, use_bias=False,

@@ -99,6 +99,36 @@ class GroupedConv(nn.Module):
 # table measured on v5e — tools/grid_conv_bench.py); env override for benching
 _GRID_CONV_STRATEGY = None
 
+# block fusion strategy for the whole splat->conv->slice unit: 'fused' runs
+# ops/pallas_fused_block.py (grid stays in VMEM between the three phases);
+# 'ops' runs the three kernels separately (GridConvK dispatch applies);
+# 'auto' picks the measured winner.  Env override: CT_BLOCK_FUSION.
+_BLOCK_FUSION = None
+
+
+def set_block_fusion(name):
+    """Force the MHCT block execution ('fused'/'ops'/'auto'/None)."""
+    global _BLOCK_FUSION
+    _BLOCK_FUSION = name
+
+
+def block_fusion_strategy(sizes):
+    import os
+    mode = (_BLOCK_FUSION
+            or os.environ.get("CT_BLOCK_FUSION", None) or "auto")
+    if mode == "auto":
+        # Measured on v5e, same process A/B on the production classifier
+        # (batch 8, 2048 pts): STANDALONE the fused kernel wins every stage
+        # shape (e.g. 2D 128^2: 7.3 vs 8.1 ms; 32^3: 9.6 vs 9.8) — but
+        # IN-MODEL it loses (fwd 199.2 vs 194.1-194.4 ms; fwd+bwd 1147.9 vs
+        # 1051.7): the separate kernels pipeline across blocks while the
+        # fused kernel's larger VMEM footprint serializes, and under AD the
+        # fused forward always materializes both grids.  The dispatch
+        # overhead the fusion removes (~1-2 ms/call standalone) is already
+        # hidden in-model.  'ops' is the measured winner.
+        return "ops"
+    return mode
+
 
 def set_grid_conv_strategy(name):
     """Force GridConvK's execution strategy ('pallas'/'xla'/'auto'/None)."""
@@ -180,3 +210,33 @@ class GridConvK(nn.Module):
         if bias is not None:
             out = out + bias
         return spatial_to_gridk(out, h, self.sizes, f)
+
+
+class FusedSplatConvSlice(nn.Module):
+    """The whole MHCT hot loop — splat -> grouped 3^dim conv -> slice — as
+    ONE Pallas kernel (ops/pallas_fused_block.py): the grid never leaves
+    VMEM between the three phases.
+
+    Parameter names/shapes are IDENTICAL to ``GridConvK``/``GroupedConv``
+    (kernel [*3^dim, F, H*F] + bias [H*F]); instantiated under the same
+    ``name="conv"`` scope the checkpoint tree is unchanged.  Returns
+    (out [B, P, H*F], gk kernel-layout) — gk feeds the occupancy stats.
+    Replaces reference layers/multihead_ct.py:50-65, 107."""
+
+    feat: int
+    heads: int
+    sizes: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, mapping, values, pts_mask=None):
+        from cloud_transformers_tpu.core.splat_slice import fused_block_mk
+        dim = len(self.sizes)
+        f, h = self.feat, self.heads
+        kernel = self.param("kernel", torch_kernel_init(),
+                            (3,) * dim + (f, h * f))
+        fan_in = f * 3 ** dim
+        bias = (self.param("bias", torch_bias_init(fan_in), (h * f,))
+                if self.use_bias else None)
+        return fused_block_mk(mapping, values, kernel, bias,
+                              tuple(self.sizes), f, h, pts_mask=pts_mask)

@@ -28,7 +28,12 @@ from cloud_transformers_tpu.core.splat_slice import (
     gridk_to_spatial,
     spatial_to_gridk,
 )
-from cloud_transformers_tpu.nn.grouped_conv import GridConvK, GroupedConv
+from cloud_transformers_tpu.nn.grouped_conv import (
+    FusedSplatConvSlice,
+    GridConvK,
+    GroupedConv,
+    block_fusion_strategy,
+)
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.transforms import VolTransformer, PlaneTransformer
 from cloud_transformers_tpu.nn.precision import MXUDense
@@ -61,13 +66,28 @@ def remat_save_policy(name: str = "point_io"):
     """Checkpoint policy for the remat'd MHCT stages.
 
     ``point_io`` saves only the per-point tensors named ``ct_point_io``
-    (grid mapping, splat values, slice outputs — a few MB per block) so the
-    stage backward recomputes just the splat kernel; the grouped-conv
-    forward (the dominant rematerialized cost) is never recomputed because
-    its output is only consumed by the saved slice.  ``full`` (or None)
-    keeps classic full rematerialization."""
+    (grid mapping, splat values, slice outputs — a few MB per block).  The
+    stage backward then recomputes the splat AND the grouped-conv forward:
+    the slice VJP keeps the conved grid gk2 as a residual (d_w needs it,
+    core/splat_slice.py) and gk2 is not saved under this policy, so its
+    recompute pulls in the whole splat->conv chain.  (An earlier version
+    of this docstring claimed the conv was never recomputed — wrong, per
+    round-3 advisor review; verified with print_saved_residuals.)
+
+    ``point_io_grids`` additionally saves the kernel-layout grids named
+    ``ct_grid`` (gk and gk2, the splat/conv outputs) — the stage backward
+    then skips the splat+conv recompute for ~0.7 GB/repeat of residuals at
+    classifier batch 8.  Measured on v5e: a TIE (1051.2 vs 1051.6 ms
+    fwd+bwd; full remat 1123.8) — the backward kernels dominate and the
+    recompute hides under them — so ``point_io`` stays the default and the
+    grids policy is for memory-rich configs only.
+
+    ``full`` (or None) keeps classic full rematerialization."""
     if name in (None, "full", "none"):
         return None
+    if name == "point_io_grids":
+        return jax.checkpoint_policies.save_only_these_names(
+            "ct_point_io", "ct_grid")
     assert name == "point_io", name
     return jax.checkpoint_policies.save_only_these_names("ct_point_io")
 
@@ -105,9 +125,8 @@ class GridKeysValues(nn.Module):
                                             name="transform")
         keys = transform(keys3)  # [B, P, H, dim]
         lattice = jnp.tanh(keys)
-        # named for the selective remat policy (MHCTTrunk): saving the small
-        # per-point tensors lets the block backward skip the grouped-conv
-        # forward recompute entirely — only the splat is recomputed
+        # named for the selective remat policy (MHCTTrunk; see
+        # remat_save_policy for what each policy saves vs recomputes)
         return lattice, keys, checkpoint_name(values, "ct_point_io")
 
 
@@ -148,16 +167,22 @@ class MultiHead(nn.Module):
         mapping = GridMapping(*(checkpoint_name(a, "ct_point_io")
                                 for a in mapping))
         # grids stay in the Pallas kernel layout through splat, conv AND
-        # slice — the grouped conv runs directly on the kernel layout
-        # (ops/pallas_grid_conv.py), eliminating the boundary copies that
-        # measured 24% of the classifier forward in round 3
-        gk = splat_max_mapping_k(mapping, values, sizes, pts_mask=pts_mask)
-        stats = head_stats(gk, keys, f, h)
-
-        gk2 = GridConvK(feat=f, heads=h, sizes=sizes, name="conv")(gk)
-
-        out = slice_grid_mapping_k(mapping, gk2, sizes, f,
-                                   pts_mask=pts_mask)
+        # slice; with 'fused' the whole unit is ONE kernel and the grid
+        # never leaves VMEM between the phases (ops/pallas_fused_block.py)
+        if block_fusion_strategy(sizes) == "fused":
+            out, gk = FusedSplatConvSlice(feat=f, heads=h, sizes=sizes,
+                                          name="conv")(mapping, values,
+                                                       pts_mask=pts_mask)
+            stats = head_stats(gk, keys, f, h)
+        else:
+            gk = splat_max_mapping_k(mapping, values, sizes,
+                                     pts_mask=pts_mask)
+            gk = checkpoint_name(gk, "ct_grid")
+            stats = head_stats(gk, keys, f, h)
+            gk2 = GridConvK(feat=f, heads=h, sizes=sizes, name="conv")(gk)
+            gk2 = checkpoint_name(gk2, "ct_grid")
+            out = slice_grid_mapping_k(mapping, gk2, sizes, f,
+                                       pts_mask=pts_mask)
         out = checkpoint_name(out, "ct_point_io")
         out = nn.relu(_bn(train, name="after_bn")(out))
         if return_lattice:

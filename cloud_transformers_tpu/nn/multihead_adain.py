@@ -22,7 +22,11 @@ from cloud_transformers_tpu.core.splat_slice import (
     gridk_to_spatial,
     spatial_to_gridk,
 )
-from cloud_transformers_tpu.nn.grouped_conv import GridConvK
+from cloud_transformers_tpu.nn.grouped_conv import (
+    FusedSplatConvSlice,
+    GridConvK,
+    block_fusion_strategy,
+)
 from cloud_transformers_tpu.nn.init import torch_kernel_init, torch_bias_init
 from cloud_transformers_tpu.nn.multihead import (
     TensorSize,
@@ -67,17 +71,22 @@ class MultiHeadAdaIn(nn.Module):
         lattice = jnp.tanh(keys)
 
         mapping = grid_mapping(lattice, sizes, dim)
-        # named for the selective remat policy (see nn/multihead.py): the
-        # decoder block backward then recomputes only the splat, not the conv
+        # named for the selective remat policy (see nn/multihead.py
+        # remat_save_policy for what each policy recomputes)
         mapping = GridMapping(*(checkpoint_name(a, "ct_point_io")
                                 for a in mapping))
         values = checkpoint_name(values, "ct_point_io")
-        gk = splat_max_mapping_k(mapping, values, sizes)
-        stats = head_stats(gk, keys, f, h)
-
-        gk2 = GridConvK(feat=f, heads=h, sizes=sizes, name="conv")(gk)
-
-        out = slice_grid_mapping_k(mapping, gk2, sizes, f)
+        if block_fusion_strategy(sizes) == "fused":
+            out, gk = FusedSplatConvSlice(feat=f, heads=h, sizes=sizes,
+                                          name="conv")(mapping, values)
+            stats = head_stats(gk, keys, f, h)
+        else:
+            gk = splat_max_mapping_k(mapping, values, sizes)
+            gk = checkpoint_name(gk, "ct_grid")
+            stats = head_stats(gk, keys, f, h)
+            gk2 = GridConvK(feat=f, heads=h, sizes=sizes, name="conv")(gk)
+            gk2 = checkpoint_name(gk2, "ct_grid")
+            out = slice_grid_mapping_k(mapping, gk2, sizes, f)
         out = checkpoint_name(out, "ct_point_io")
         out = nn.relu(AdaIn1d(h * f, name="after_adain")(out, z))
         if return_lattice:
