@@ -23,6 +23,10 @@ class _SegmenterBase(nn.Module):
     in_channels: int = 6
     model_dim: int = 512
     remat: bool = True
+    remat_policy: str = "point_io"  # see MHCTTrunk.remat_policy
+    # trunk size knobs (defaults = production; tiny values for dry runs)
+    repeats: int = 4
+    stage_plan: tuple = None
 
     @nn.compact
     def _forward(self, pcd_features, xyz, pts_mask, train):
@@ -32,8 +36,13 @@ class _SegmenterBase(nn.Module):
                      name="stem")(pcd_features)
         x = nn.relu(_bn(train, name="stem_bn")(x))
 
+        trunk_kwargs = {} if self.stage_plan is None else {
+            "stage_plan": self.stage_plan}
         x, stats = MHCTTrunk(model_dim=self.model_dim, remat=self.remat,
-                             name="trunk")(x, xyz, pts_mask, train)
+                             remat_policy=self.remat_policy,
+                             repeats=self.repeats,
+                             name="trunk", **trunk_kwargs)(
+                                 x, xyz, pts_mask, train)
 
         x = MXUDense(self.model_dim, use_bias=False,
                      kernel_init=torch_kernel_init(), name="final_conv1")(x)
