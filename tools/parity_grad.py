@@ -136,7 +136,7 @@ class Family:
     """One model family: reference torch model, converted flax model, and
     framework-specific forward fns returning a list of ALIGNED arrays."""
 
-    def __init__(self, name, points=128):
+    def __init__(self, name, points=128, batch=2):
         import torch
         import jax.numpy as jnp
         from cloud_transformers_tpu.models import get_model
@@ -150,7 +150,7 @@ class Family:
             self.ref = load_reference_model(
                 "model_zoo/scanobject/classifier.py", n_classes=15)
             self.model = get_model("scanobject_classifier", n_classes=15)
-            pcd = rng.randn(2, 3, 1, points).astype(np.float32) * 0.3
+            pcd = rng.randn(batch, 3, 1, points).astype(np.float32) * 0.3
             self.t_in = (torch.from_numpy(pcd),)
             self.j_in = (jnp.asarray(np.transpose(pcd[:, :, 0], (0, 2, 1))),)
             self.t_fwd = lambda m, i: [m(*i)[0], m(*i)[1][:, 0]]
@@ -161,9 +161,9 @@ class Family:
         elif name == "s3dis_segmenter_pad":
             self.ref = load_reference_model("model_zoo/s3dis/segmenter_pad.py")
             self.model = get_model("s3dis_segmenter_pad")
-            pcd = rng.randn(2, points, 3).astype(np.float32) * 0.3
-            feats = rng.rand(2, 4, points).astype(np.float32)
-            mask = np.ones((2, points), np.float32)
+            pcd = rng.randn(batch, points, 3).astype(np.float32) * 0.3
+            feats = rng.rand(batch, 4, points).astype(np.float32)
+            mask = np.ones((batch, points), np.float32)
             self.t_in = (torch.from_numpy(pcd), torch.from_numpy(mask),
                          torch.from_numpy(feats))
             self.j_in = (jnp.asarray(pcd), jnp.asarray(mask),
@@ -175,8 +175,8 @@ class Family:
             self.ref = load_reference_model(
                 "model_zoo/completion/inpainter.py")
             self.model = get_model("completion_inpainter")
-            noise = rng.randn(2, 4, points).astype(np.float32)
-            part = rng.randn(2, 3, points).astype(np.float32) * 0.3
+            noise = rng.randn(batch, 4, points).astype(np.float32)
+            part = rng.randn(batch, 3, points).astype(np.float32) * 0.3
             self.t_in = (torch.from_numpy(noise), torch.from_numpy(part))
             self.j_in = (jnp.asarray(np.transpose(noise, (0, 2, 1))),
                          jnp.asarray(np.transpose(part, (0, 2, 1))))
@@ -187,8 +187,8 @@ class Family:
             self.ref = load_reference_model(
                 "model_zoo/image_reconstruction/reconstructor.py")
             self.model = get_model("image_reconstructor")
-            noise = rng.randn(2, 3, points).astype(np.float32)
-            img = rng.rand(2, 3, 64, 64).astype(np.float32)
+            noise = rng.randn(batch, 3, points).astype(np.float32)
+            img = rng.rand(batch, 3, 64, 64).astype(np.float32)
             self.t_in = (torch.from_numpy(noise), torch.from_numpy(img))
             self.j_in = (jnp.asarray(np.transpose(noise, (0, 2, 1))),
                          jnp.asarray(np.transpose(img, (0, 2, 3, 1))))
@@ -463,6 +463,136 @@ def trajectory_rows(points, report):
     return ok
 
 
+def inpainter_trajectory_rows(points, batch, steps, report):
+    """>=50 Adam steps on the inpainter with the REAL training loss —
+    mean(sqrt(EMD(recon, gt, 0.005, 50))) + chamfer_weight * loss_chamfer
+    (reference /root/reference/train_inpainter.py:187-192) — in TRAIN mode
+    (BatchNorm batch stats + running-stat updates; dropout forced off), in
+    both frameworks from the same converted init on the same fixed batch.
+
+    The reference EMD/chamfer extensions are CUDA-only (zero egress, no
+    GPU), so the torch side mirrors their documented semantics exactly:
+
+    * **EMD assignment oracle**: both sides use the SAME auction
+      (losses/emd.py — itself unit-tested against scipy's Hungarian).  The
+      torch side runs it on the detached reconstruction each step and
+      differentiates sqrt(|recon - gt[assign]|^2) through the FIXED
+      assignment — exactly the CUDA module's backward
+      (emd_cuda.cu:284-316, emd_module.py:62-70).
+    * **Chamfer**: pure-torch pairwise min, gradient through the argmin
+      winner — the fixed-idx backward of chamfer_extension
+      (dist_chamfer.py:43-56).  loss = mean(d1) + mean(d2)
+      (dist_chamfer.py:67-76); chamfer_weight is forced NONZERO (configs
+      ship 0.0) so the chamfer gradient path is exercised too.
+
+    The floor trajectory is torch-vs-torch with inputs jittered at 2e-5
+    (the measured cross-framework key scale): train-mode BN + two chaotic
+    rasterizers + a discrete assignment make same-framework divergence the
+    only fair yardstick for cross-framework divergence."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cloud_transformers_tpu.losses import emd_auction, loss_chamfer
+    from tools.convert_torch_checkpoint import convert
+
+    chamfer_weight = 0.5
+    emd_eps, emd_iters = 0.005, 50
+    CHECK_STEPS = sorted({s for s in (1, 10, 25, steps) if s <= steps})
+    fam = Family("completion_inpainter", points, batch)
+    zero_dropout = disable_dropout_everywhere()
+    zero_dropout(fam.ref)
+    import flax.linen as fnn
+    fnn.Dropout.__call__ = lambda self, x, deterministic=None, rng=None: x
+
+    rng = np.random.RandomState(7)
+    gt_np = rng.randn(batch, points, 3).astype(np.float32) * 0.3
+    gt_t = torch.from_numpy(gt_np)
+    gt_j = jnp.asarray(gt_np)
+
+    assign_fn = jax.jit(lambda r, g: emd_auction(r, g, eps=emd_eps,
+                                                 iters=emd_iters)[1])
+
+    def torch_loss(model, inputs):
+        recon = model(*inputs)[0][:, :, 0].permute(0, 2, 1)  # [B, N, 3]
+        assign = np.asarray(assign_fn(
+            jnp.asarray(recon.detach().numpy()), gt_j))
+        matched = torch.gather(
+            gt_t, 1, torch.from_numpy(assign).long()[..., None].expand(
+                -1, -1, 3))
+        dist = ((recon - matched) ** 2).sum(-1)
+        loss = torch.sqrt(dist + 1e-12).mean()
+        d = ((recon[:, :, None, :] - gt_t[:, None, :, :]) ** 2).sum(-1)
+        loss = loss + chamfer_weight * (d.min(2).values.mean()
+                                        + d.min(1).values.mean())
+        return loss
+
+    def run_torch(jitter_sigma):
+        import copy as _copy
+        model = _copy.deepcopy(fam.ref)
+        zero_dropout(model)
+        model.train()
+        inputs = fam.t_in if not jitter_sigma else tuple(
+            x + jitter_sigma * torch.randn_like(x) for x in fam.t_in)
+        opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+        snaps, losses = {}, {}
+        for step in range(1, steps + 1):
+            loss = torch_loss(model, inputs)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            if step in CHECK_STEPS:
+                sd = {k: v.detach().numpy().copy()
+                      for k, v in model.state_dict().items()}
+                snaps[step], _ = convert("completion_inpainter", sd)
+                losses[step] = float(loss)
+        return snaps, losses
+
+    def loss_j(params, batch_stats):
+        out, updates = fam.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            *fam.j_in, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)})
+        recon = out[0]                                      # [B, N, 3]
+        dist, _ = emd_auction(recon, gt_j, eps=emd_eps, iters=emd_iters)
+        loss = jnp.mean(jnp.sqrt(dist + 1e-12))
+        loss = loss + chamfer_weight * loss_chamfer(recon, gt_j)
+        return loss, updates["batch_stats"]
+
+    tx = optax.adam(1e-3)
+    params, batch_stats = fam.params, fam.batch_stats
+    opt_state = tx.init(params)
+    step_fn = jax.jit(jax.value_and_grad(loss_j, has_aux=True))
+    j_snaps, j_losses = {}, {}
+    for step in range(1, steps + 1):
+        (loss, batch_stats), g = step_fn(params, batch_stats)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if step in CHECK_STEPS:
+            j_snaps[step] = jax.device_get(params)
+            j_losses[step] = float(loss)
+
+    t_snaps, t_losses = run_torch(0.0)
+    f_snaps, f_losses = run_torch(2e-5)
+
+    def flat(tree):
+        return np.concatenate([np.asarray(x).ravel() for x in
+                               jax.tree_util.tree_leaves(tree)])
+
+    ok = True
+    for step in CHECK_STEPS:
+        vt, vj, vf = flat(t_snaps[step]), flat(j_snaps[step]), \
+            flat(f_snaps[step])
+        c, cf = _cosine(vt, vj), _cosine(vt, vf)
+        line = (f"| {step} | {c:.6f} | {cf:.6f} | "
+                f"{np.abs(vt - vj).max():.2e} | {t_losses[step]:.5f} | "
+                f"{j_losses[step]:.5f} | {f_losses[step]:.5f} |")
+        print(line)
+        report.append(line)
+        ok = ok and c >= min(0.999, cf - 1e-3)
+    return ok
+
+
 def train_bn_rows(points, report):
     """One train-mode forward (dropout off): outputs and the updated
     BatchNorm running statistics, judged against a torch-vs-torch floor.
@@ -560,10 +690,14 @@ FAMILIES = ["scanobject_classifier", "s3dis_segmenter_pad",
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--families", default="all")
     ap.add_argument("--skip-trajectory", action="store_true")
+    ap.add_argument("--traj-steps", type=int, default=50,
+                    help="steps for the inpainter real-loss trajectory")
     ap.add_argument("--stages", default="fwd,grad,traj,bn",
-                    help="comma subset of fwd,grad,traj,bn — each stage "
+                    help="comma subset of fwd,grad,traj,bn,traj_inpaint — "
+                    "each stage "
                     "appends its report section as soon as it completes, "
                     "so a killed run keeps its finished stages (this box "
                     "is 1-core; the full tool runs >1.5h)")
@@ -589,7 +723,7 @@ def main():
 
     def get_fam(name):
         if name not in fam_objs:
-            fam_objs[name] = Family(name, args.points)
+            fam_objs[name] = Family(name, args.points, args.batch)
         return fam_objs[name]
 
     if "fwd" in stages:
@@ -636,6 +770,27 @@ def main():
                   "| step | param cosine | max |param err| |",
                   "|---|---|---|"]
         ok &= trajectory_rows(args.points, report)
+        emit(report)
+
+    if "traj_inpaint" in stages:
+        report = ["", f"## {args.traj_steps}-step Adam trajectory A/B on "
+                  "the REAL inpainter training loss",
+                  "",
+                  f"points={args.points}, batch={args.batch}, TRAIN mode "
+                  "(BN batch stats; dropout off), loss = mean(sqrt(EMD("
+                  "recon, gt, 0.005, 50))) + 0.5 * loss_chamfer "
+                  "(train_inpainter.py:187-192; chamfer_weight forced "
+                  "nonzero to exercise both gradient paths).  Shared "
+                  "auction assignment oracle; torch differentiates "
+                  "through the fixed assignment / argmin exactly as the "
+                  "CUDA extensions do.  Floor: torch-vs-torch, inputs "
+                  "jittered 2e-5.",
+                  "",
+                  "| step | param cos (t vs j) | floor cos (t vs t@2e-5) | "
+                  "max |param err| | loss torch | loss jax | loss floor |",
+                  "|---|---|---|---|---|---|---|"]
+        ok &= inpainter_trajectory_rows(args.points, args.batch,
+                                        args.traj_steps, report)
         emit(report)
 
     if "bn" in stages:
