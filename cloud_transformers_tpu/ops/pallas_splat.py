@@ -94,11 +94,110 @@ def _window_of(lanes, lane_offs):
     return window, window != lanes
 
 
-# A narrower per-point fast path ([*, 128] RMW when the point's vertex
-# lanes fit one aligned block, ~2/3 of points on a 32^3 grid) was measured
-# and REJECTED: the per-point scalar branch (pl.when) breaks the unrolled
-# VLIW schedule — splat went 13.4 -> 91 cyc/pt (7x slower).  Branchless
-# [*, 256] RMWs for every point are the floor of this formulation.
+# Per-point lane-window strategy.  'classic' = round-3 behavior: [*, 256]
+# aligned windows on big 3D grids (two 128-blocks so any <=34-lane vertex
+# span fits), full rows elsewhere.  'dual' = TWO grid images, the second
+# offset by 64 lanes: every point's vertex span (Z+2 <= 64 lanes) then fits
+# ONE aligned 128-lane block in one of the images, picked by branchless
+# ADDRESS arithmetic (image index folds into the row offset — no per-point
+# control flow, which is what killed the round-2 narrow-window experiment:
+# a pl.when fast path measured 13.4 -> 91 cyc/pt).  Every per-point vector
+# op (mask build, multiply, RMW read/modify/write, lane reduce) halves from
+# two vregs per row to one; the price is one extra grid-sized combine/copy
+# pass per kernel call plus 2x accumulator VMEM.  Applies to splat fwd,
+# slice fwd and slice bwd; splat BWD keeps the single-image window because
+# its tie-claim buffer is consumed serially in point order and points
+# sharing a cell can land in different images (a dual claim buffer would
+# double-grant cotangents on exact ties, breaking the torch_scatter
+# single-winner routing of VERDICT r3 #6).
+#
+# MEASURED (v5e, R=128 K=2048 F=8, c/pt, tools task r4; bit-exact equal
+# outputs all modes):
+#                          splat   slice  slice_bwd  splat_bwd
+#   32^3 classic/kernel     13.2    15.9     20.7      66.3
+#   32^3 classic/host       13.5    15.6     20.7      66.6
+#   32^3 dual/host          13.1    15.5     20.8      66.3
+#   16^3 classic/kernel     12.6    17.0     20.8      66.1
+#   16^3 dual/host          12.8    15.8     20.6      66.3
+# and the bank sweep (splat 32^3): 15.5/15.5/15.5/15.8 c/pt at banks
+# 2/4/8/16 (classic), 15.5/15.1/15.6/15.2 (dual) — FLAT in window width,
+# bank count AND address origin.  Conclusion: the per-point floor is the
+# fixed issue cost of each DYNAMIC VMEM access itself (~6-7 cyc per
+# access: splat = RMW pair ~13, slice = 1 read + reduce ~16, slice_bwd =
+# RMW + read ~21), not vector width, RMW ordering or scalar address
+# arithmetic.  XLA shows the same constant: take_along_axis gathers on
+# [128, 2048, C] measure ~10 c/pt — which also prices the sort-and-group
+# reformulation (argsort 6.6 c/pt + permute gathers ~20 c/pt) above its
+# possible savings.  'classic'/'kernel' stay the defaults; the knobs and
+# this table are the record of the rejection.
+_WINDOW_MODE = "classic"
+
+
+def _window_plan(lanes, lane_offs):
+    """-> (window, windowed, dual) for the per-point loops."""
+    span = max(lane_offs) + 2            # vertex lanes cover [0, span-1]
+    if (_WINDOW_MODE == "dual" and lanes >= 256 and lanes % 128 == 0
+            and span <= 64):
+        return 128, True, True
+    window, windowed = _window_of(lanes, lane_offs)
+    return window, windowed, False
+
+
+def _dual_rel(lane_t, span):
+    """Vectorized dual-image window-relative lane offsets ([T, 1] int32).
+
+    sel(lane0) = 1 iff the span starting at lane0 straddles an aligned
+    128-block boundary; such points use image B (grid rolled by 64 lanes),
+    where their span provably fits one aligned block."""
+    sel = (jnp.bitwise_and(lane_t, 127) > (127 - span)).astype(jnp.int32)
+    return jnp.bitwise_and(lane_t - (sel << 6), 127)
+
+
+def _dual_addr(lane0, span, x0, x_dim, f_pad):
+    """Scalar dual-image addressing: (row_start, win) for point (x0, lane0).
+
+    The image index enters the ROW offset (image B lives at rows
+    [X*F_pad, 2*X*F_pad) of the doubled buffer) — pure arithmetic, no
+    branch."""
+    sel = ((lane0 & 127) > (127 - span)).astype(jnp.int32)
+    lane_eff = lane0 - (sel << 6)
+    win = (lane_eff >> 7) << 7
+    return (x0 + sel * x_dim) * f_pad, win
+
+
+# Where the per-point (row, window) addresses are computed: 'host' = as two
+# vectorized int32 [R, K] arrays on the XLA side, riding the two SMEM operand
+# slots (the kernel loop then does TWO SMEM loads and NO arithmetic per
+# point); 'kernel' = from (x0, lane0) SMEM scalars with ~8 scalar ops per
+# point.  Measured FLAT (table above): the scalar pipeline is not the
+# bound either.  Default 'kernel' (no extra operands); 'host' kept as the
+# experiment record.
+_ADDR = "kernel"
+
+
+def _host_addrs(x0, lane0, sizes, f_pad, lane_offs, force_classic=False):
+    """Precomputed per-point (row_start, win) int32 [R, K] for the kernels'
+    SMEM slots (see _ADDR).  Matches the in-kernel arithmetic exactly for
+    the active window plan (``force_classic`` for the splat backward, whose
+    tie-claim buffer is always single-image)."""
+    lanes = max(128, int(np.prod(sizes[1:])))
+    x_dim = sizes[0]
+    if force_classic:
+        window, windowed = _window_of(lanes, lane_offs)
+        dual = False
+    else:
+        window, windowed, dual = _window_plan(lanes, lane_offs)
+    span = max(lane_offs) + 2
+    if dual:
+        sel = (jnp.bitwise_and(lane0, 127) > (127 - span)).astype(jnp.int32)
+        lane_eff = lane0 - (sel << 6)
+        win = (lane_eff >> 7) << 7
+        return (x0 + sel * x_dim) * f_pad, win
+    if windowed:
+        win = jnp.minimum((lane0 >> 7) << 7, lanes - window)
+    else:
+        win = jnp.zeros_like(lane0)
+    return x0 * f_pad, win
 
 
 # ---------------------------------------------------------------------------
@@ -298,15 +397,22 @@ def _load_point_tile(data_refs, t, f_pad=0, tile=0):
 
 def _splat_kernel(x0_ref, lane0_ref, *refs,
                   n_points, f_pad, lanes, lane_offs, op, tile, banks,
-                  n_data):
+                  n_data, x_dim, host_addr=False):
     data_refs = refs[:n_data]
     out_ref = refs[n_data]
     scratch = refs[n_data + 1:]
-    out_ref[:] = jnp.zeros_like(out_ref)
-    tgts = (out_ref,) + tuple(scratch[:banks - 1])
-    for s in tgts[1:]:
+    window, windowed, dual = _window_plan(lanes, lane_offs)
+    span = max(lane_offs) + 2
+    if dual:
+        # accumulate ONLY in the doubled scratch banks; out_ref is written
+        # once by the image combine below
+        tgts = tuple(scratch[:banks])
+        init = tgts
+    else:
+        tgts = (out_ref,) + tuple(scratch[:banks - 1])
+        init = tgts
+    for s in init:
         s[:] = jnp.zeros_like(s)
-    window, windowed = _window_of(lanes, lane_offs)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
     comb = jnp.maximum if op == "max" else jnp.add
@@ -314,7 +420,9 @@ def _splat_kernel(x0_ref, lane0_ref, *refs,
     def tile_body(t, _):
         lane_t, wlo_t, whi_t, vt = _load_point_tile(data_refs, t, f_pad,
                                                      tile)
-        if windowed:
+        if dual:
+            rel = _dual_rel(lane_t, span)
+        elif windowed:
             rel = lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
         else:
             rel = lane_t
@@ -322,12 +430,32 @@ def _splat_kernel(x0_ref, lane0_ref, *refs,
 
         for j in range(T):
             i = t * T + j
-            x0 = x0_ref[0, 0, i]
             vcol = vt[:, j:j + 1]
             upd = jnp.concatenate(
                 [vcol * m_lo[j:j + 1, :], vcol * m_hi[j:j + 1, :]], axis=0)
-            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
             tgt = tgts[j % banks]
+            if host_addr:
+                # the SMEM slots carry precomputed (row_start, win)
+                rows = pl.ds(
+                    pl.multiple_of(x0_ref[0, 0, i], f_pad), 2 * f_pad)
+                if windowed:
+                    win = pl.multiple_of(lane0_ref[0, 0, i], 128)
+                    cur = tgt[0, rows, pl.ds(win, window)]
+                    tgt[0, rows, pl.ds(win, window)] = comb(cur, upd)
+                else:
+                    cur = tgt[0, rows, :]
+                    tgt[0, rows, :] = comb(cur, upd)
+                continue
+            x0 = x0_ref[0, 0, i]
+            if dual:
+                lane0 = lane0_ref[0, 0, i]
+                row0, win = _dual_addr(lane0, span, x0, x_dim, f_pad)
+                rows = pl.ds(pl.multiple_of(row0, f_pad), 2 * f_pad)
+                win = pl.multiple_of(win, 128)
+                cur = tgt[0, rows, pl.ds(win, window)]
+                tgt[0, rows, pl.ds(win, window)] = comb(cur, upd)
+                continue
+            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
             if windowed:
                 lane0 = lane0_ref[0, 0, i]
                 win = pl.multiple_of(
@@ -340,6 +468,17 @@ def _splat_kernel(x0_ref, lane0_ref, *refs,
         return 0
 
     jax.lax.fori_loop(0, n_points // T, tile_body, 0)
+    if dual:
+        xf = x_dim * f_pad
+        acc_a = tgts[0][0, :xf, :]
+        acc_b = tgts[0][0, xf:, :]
+        for s in tgts[1:]:
+            acc_a = comb(acc_a, s[0, :xf, :])
+            acc_b = comb(acc_b, s[0, xf:, :])
+        # image B stores absolute lane a at B-lane a-64: roll forward by 64
+        # to realign (its unwritten tail wraps in as the zero identity)
+        out_ref[0, :, :] = comb(acc_a, pltpu.roll(acc_b, 64, axis=1))
+        return
     acc = out_ref[:]
     for s in tgts[1:]:
         acc = comb(acc, s[:])
@@ -389,12 +528,18 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
         z = sizes[2]
         lane_offs = (0, 1, z, z + 1)
 
-    grid_bytes = x_dim * f_pad * lanes * 4
+    _, _, dual = _window_plan(lanes, lane_offs)
+    grid_bytes = x_dim * f_pad * lanes * 4 * (2 if dual else 1)
     banks = _pick_banks(grid_bytes)
+    host = _ADDR == "host"
     kernel = functools.partial(
         _splat_kernel, n_points=k, f_pad=f_pad, lanes=lanes,
         lane_offs=lane_offs, op=op, tile=tile, banks=banks,
-        n_data=_n_point_refs(k))
+        n_data=_n_point_refs(k), x_dim=x_dim, host_addr=host)
+    smem_a, smem_b = ((_host_addrs(x0, lane0, sizes, f_pad, lane_offs))
+                      if host else (x0, lane0))
+    n_scratch = banks if dual else banks - 1
+    scratch_rows = x_dim * f_pad * (2 if dual else 1)
 
     out = pl.pallas_call(
         kernel,
@@ -410,12 +555,12 @@ def pallas_splat(x0, lane0, w_lo, w_hi, values, sizes, feat, op="max",
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, x_dim * f_pad, lanes),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32)
-                        for _ in range(banks - 1)],
+        scratch_shapes=[pltpu.VMEM((1, scratch_rows, lanes), jnp.float32)
+                        for _ in range(n_scratch)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0[:, None, :], lane0[:, None, :],
+    )(smem_a[:, None, :], smem_b[:, None, :],
       *_point_args(lane0, w_lo, w_hi, values, tile))
 
     if kernel_layout_out:
@@ -486,12 +631,21 @@ _SLICE_REDUCE = "point"
 
 
 def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
-                  lane_offs, tile, n_data):
+                  lane_offs, tile, n_data, x_dim, host_addr=False):
     data_refs = refs[:n_data]
     grid_ref = refs[n_data]
     out_ref = refs[n_data + 1]
     cols_ref = refs[n_data + 2]
-    window, windowed = _window_of(lanes, lane_offs)
+    window, windowed, dual = _window_plan(lanes, lane_offs)
+    span = max(lane_offs) + 2
+    if dual:
+        # doubled read copy: rows [XF, 2XF) hold the grid rolled back by 64
+        # lanes (B-lane l = absolute lane l+64), built in ONE vector pass
+        dbl_ref = refs[n_data + 3]
+        xf = x_dim * f_pad
+        g0 = grid_ref[0]
+        dbl_ref[0:xf, :] = g0
+        dbl_ref[xf:, :] = pltpu.roll(g0, lanes - 64, axis=1)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
     batched = _SLICE_REDUCE == "tile_mxu"
@@ -501,20 +655,46 @@ def _slice_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
     def tile_body(t, _):
         p0 = pl.multiple_of(t * T, T)
         lane_t, wlo_t, whi_t, _ = _load_point_tile(data_refs, t, tile=tile)
-        rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
-               if windowed else lane_t)
+        if dual:
+            rel = _dual_rel(lane_t, span)
+        else:
+            rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
+                   if windowed else lane_t)
         m_lo, m_hi, _ = _build_masks(lane_iota, rel, wlo_t, whi_t, lane_offs)
 
         for j in range(T):
             i = t * T + j
-            x0 = x0_ref[0, 0, i]
-            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
-            if windowed:
+            if host_addr:
+                rows = pl.ds(
+                    pl.multiple_of(x0_ref[0, 0, i], f_pad), 2 * f_pad)
+                if dual:
+                    cur = dbl_ref[
+                        rows,
+                        pl.ds(pl.multiple_of(lane0_ref[0, 0, i], 128),
+                              window)]
+                elif windowed:
+                    cur = grid_ref[
+                        0, rows,
+                        pl.ds(pl.multiple_of(lane0_ref[0, 0, i], 128),
+                              window)]
+                else:
+                    cur = grid_ref[0, rows, :]
+            elif dual:
+                x0 = x0_ref[0, 0, i]
+                lane0 = lane0_ref[0, 0, i]
+                row0, win = _dual_addr(lane0, span, x0, x_dim, f_pad)
+                cur = dbl_ref[pl.ds(pl.multiple_of(row0, f_pad), 2 * f_pad),
+                              pl.ds(pl.multiple_of(win, 128), window)]
+            elif windowed:
+                x0 = x0_ref[0, 0, i]
+                rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
                 lane0 = lane0_ref[0, 0, i]
                 win = pl.multiple_of(
                     jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
                 cur = grid_ref[0, rows, pl.ds(win, window)]
             else:
+                x0 = x0_ref[0, 0, i]
+                rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
                 cur = grid_ref[0, rows, :]
             prod = (cur[:f_pad] * m_lo[j:j + 1, :]
                     + cur[f_pad:] * m_hi[j:j + 1, :])
@@ -560,10 +740,21 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False,
         z = sizes[2]
         lane_offs = (0, 1, z, z + 1)
 
+    host = _ADDR == "host"
     kernel = functools.partial(
         _slice_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
         lane_offs=lane_offs, tile=tile,
-        n_data=_n_point_refs(k_pad, with_values=False))
+        n_data=_n_point_refs(k_pad, with_values=False), x_dim=x_dim,
+        host_addr=host)
+    smem_a, smem_b = ((_host_addrs(x0, lane0, sizes, f_pad, lane_offs))
+                      if host else (x0, lane0))
+    _, _, dual = _window_plan(lanes, lane_offs)
+    slice_scratch = [pltpu.VMEM(
+        (tile * f_pad, _window_plan(lanes, lane_offs)[0])
+        if _SLICE_REDUCE == "tile_mxu" else (f_pad, tile), jnp.float32)]
+    if dual:
+        slice_scratch.append(
+            pltpu.VMEM((2 * x_dim * f_pad, lanes), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(r,),
@@ -579,14 +770,11 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False,
         out_specs=pl.BlockSpec((1, k_pad, f_pad), lambda bh: (bh, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, k_pad, f_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM(
-            (tile * f_pad, _window_of(lanes, lane_offs)[0])
-            if _SLICE_REDUCE == "tile_mxu" else (f_pad, tile),
-            jnp.float32)],
+        scratch_shapes=slice_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0[:, None, :], lane0[:, None, :],
+    )(smem_a[:, None, :], smem_b[:, None, :],
       *_point_args(lane0, w_lo, w_hi, None, tile), gk)
     return out[:, :k_orig, :feat]
 
@@ -596,7 +784,8 @@ def pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes, feat, interpret=False,
 # ---------------------------------------------------------------------------
 
 def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
-                      n_points, f_pad, lanes, lane_offs, tile, n_data):
+                      n_points, f_pad, lanes, lane_offs, tile, n_data,
+                      host_addr=False):
     data_refs = refs[:n_data]
     (grid_ref, g_ref, dwlo_ref, dwhi_ref, dval_ref,
      tlo_s, thi_s, dval_s, g_buf) = refs[n_data:]
@@ -620,13 +809,22 @@ def _splat_bwd_kernel(x0_ref, lane0_ref, *refs,
 
         for j in range(T):
             i = t * T + j
-            x0 = x0_ref[0, 0, i]
             vcol = vt[:, j:j + 1]
-            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
+            if host_addr:
+                rows = pl.ds(
+                    pl.multiple_of(x0_ref[0, 0, i], f_pad), 2 * f_pad)
+                if windowed:
+                    win = pl.multiple_of(lane0_ref[0, 0, i], 128)
+                else:
+                    win = 0
+            else:
+                x0 = x0_ref[0, 0, i]
+                rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
+                if windowed:
+                    lane0 = lane0_ref[0, 0, i]
+                    win = pl.multiple_of(
+                        jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
             if windowed:
-                lane0 = lane0_ref[0, 0, i]
-                win = pl.multiple_of(
-                    jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
                 cur = grid_ref[0, rows, pl.ds(win, window)]
                 gg = g_buf[0, rows, pl.ds(win, window)]
             else:
@@ -710,9 +908,14 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
         lane_offs = (0, 1, z, z + 1)
     window, _ = _window_of(lanes, lane_offs)
 
+    host = _ADDR == "host"
     kernel = functools.partial(
         _splat_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
-        lane_offs=lane_offs, tile=tile, n_data=_n_point_refs(k_pad))
+        lane_offs=lane_offs, tile=tile, n_data=_n_point_refs(k_pad),
+        host_addr=host)
+    smem_a, smem_b = (_host_addrs(x0, lane0, sizes, f_pad, lane_offs,
+                                  force_classic=True)
+                      if host else (x0, lane0))
     spec_k = lambda shape: pl.BlockSpec(shape, lambda bh: (bh,) + (0,) * (
         len(shape) - 1), memory_space=pltpu.VMEM)
     dwlo, dwhi, dval = pl.pallas_call(
@@ -739,7 +942,7 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0[:, None, :], lane0[:, None, :],
+    )(smem_a[:, None, :], smem_b[:, None, :],
       *_point_args(lane0, w_lo, w_hi, values, tile), grid_k, g_k)
     return dwlo[:, :k_orig, :], dwhi[:, :k_orig, :], dval[:, :k_orig, :feat]
 
@@ -749,17 +952,28 @@ def pallas_splat_bwd(x0, lane0, w_lo, w_hi, values, grid, g, sizes, feat,
 # ---------------------------------------------------------------------------
 
 def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
-                      lane_offs, tile, banks, n_data):
+                      lane_offs, tile, banks, n_data, x_dim,
+                      host_addr=False):
     data_refs = refs[:n_data]
     grid_ref = refs[n_data]
     dgrid_ref, dwlo_ref, dwhi_ref = refs[n_data + 1:n_data + 4]
     scratch = refs[n_data + 4:]
     ulo_s, uhi_s = scratch[:2]
-    tgts = (dgrid_ref,) + tuple(scratch[2:2 + banks - 1])
-    dgrid_ref[:] = jnp.zeros_like(dgrid_ref)
-    for s in tgts[1:]:
+    window, windowed, dual = _window_plan(lanes, lane_offs)
+    span = max(lane_offs) + 2
+    if dual:
+        tgts = tuple(scratch[2:2 + banks])
+        dbl_ref = scratch[2 + banks]
+        xf = x_dim * f_pad
+        g0 = grid_ref[0]
+        dbl_ref[0:xf, :] = g0
+        dbl_ref[xf:, :] = pltpu.roll(g0, lanes - 64, axis=1)
+        init = tgts
+    else:
+        tgts = (dgrid_ref,) + tuple(scratch[2:2 + banks - 1])
+        init = tgts
+    for s in init:
         s[:] = jnp.zeros_like(s)
-    window, windowed = _window_of(lanes, lane_offs)
     T = tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, window), 1)
 
@@ -767,20 +981,48 @@ def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
         p0 = pl.multiple_of(t * T, T)
         lane_t, wlo_t, whi_t, gt = _load_point_tile(
             data_refs, t, f_pad, tile)                # gt = cotangents [F, T]
-        rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
-               if windowed else lane_t)
+        if dual:
+            rel = _dual_rel(lane_t, span)
+        else:
+            rel = (lane_t - jnp.minimum((lane_t >> 7) << 7, lanes - window)
+                   if windowed else lane_t)
         m_lo, m_hi, hits = _build_masks(lane_iota, rel, wlo_t, whi_t,
                                         lane_offs)
 
         for j in range(T):
             i = t * T + j
-            x0 = x0_ref[0, 0, i]
             gcol = gt[:, j:j + 1]                     # [F_pad, 1]
-            rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
             tgt = tgts[j % banks]
             upd = jnp.concatenate(
                 [gcol * m_lo[j:j + 1, :], gcol * m_hi[j:j + 1, :]], axis=0)
-            if windowed:
+            if host_addr:
+                rows = pl.ds(
+                    pl.multiple_of(x0_ref[0, 0, i], f_pad), 2 * f_pad)
+                if dual:
+                    win = pl.multiple_of(lane0_ref[0, 0, i], 128)
+                    cur_g = dbl_ref[rows, pl.ds(win, window)]
+                    tgt[0, rows, pl.ds(win, window)] = (
+                        tgt[0, rows, pl.ds(win, window)] + upd)
+                elif windowed:
+                    win = pl.multiple_of(lane0_ref[0, 0, i], 128)
+                    cur_g = grid_ref[0, rows, pl.ds(win, window)]
+                    tgt[0, rows, pl.ds(win, window)] = (
+                        tgt[0, rows, pl.ds(win, window)] + upd)
+                else:
+                    cur_g = grid_ref[0, rows, :]
+                    tgt[0, rows, :] = tgt[0, rows, :] + upd
+            elif dual:
+                x0 = x0_ref[0, 0, i]
+                lane0 = lane0_ref[0, 0, i]
+                row0, win = _dual_addr(lane0, span, x0, x_dim, f_pad)
+                rows = pl.ds(pl.multiple_of(row0, f_pad), 2 * f_pad)
+                win = pl.multiple_of(win, 128)
+                cur_g = dbl_ref[rows, pl.ds(win, window)]
+                tgt[0, rows, pl.ds(win, window)] = (
+                    tgt[0, rows, pl.ds(win, window)] + upd)
+            elif windowed:
+                x0 = x0_ref[0, 0, i]
+                rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
                 lane0 = lane0_ref[0, 0, i]
                 win = pl.multiple_of(
                     jnp.minimum((lane0 >> 7) << 7, lanes - window), 128)
@@ -788,6 +1030,8 @@ def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
                 tgt[0, rows, pl.ds(win, window)] = (
                     tgt[0, rows, pl.ds(win, window)] + upd)
             else:
+                x0 = x0_ref[0, 0, i]
+                rows = pl.ds(pl.multiple_of(x0 * f_pad, f_pad), 2 * f_pad)
                 cur_g = grid_ref[0, rows, :]
                 tgt[0, rows, :] = tgt[0, rows, :] + upd
             # u[j, l] = sum_f grid[f, l] * g[j, f] per row block (for d_w)
@@ -805,6 +1049,15 @@ def _slice_bwd_kernel(x0_ref, lane0_ref, *refs, n_points, f_pad, lanes,
         return 0
 
     jax.lax.fori_loop(0, n_points // T, tile_body, 0)
+    if dual:
+        xf = x_dim * f_pad
+        acc_a = tgts[0][0, :xf, :]
+        acc_b = tgts[0][0, xf:, :]
+        for s in tgts[1:]:
+            acc_a = acc_a + s[0, :xf, :]
+            acc_b = acc_b + s[0, xf:, :]
+        dgrid_ref[0, :, :] = acc_a + pltpu.roll(acc_b, 64, axis=1)
+        return
     acc = dgrid_ref[:]
     for s in tgts[1:]:
         acc = acc + s[:]
@@ -842,18 +1095,27 @@ def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
     else:
         z = sizes[2]
         lane_offs = (0, 1, z, z + 1)
-    window, _ = _window_of(lanes, lane_offs)
-    grid_bytes = x_dim * f_pad * lanes * 4
+    window, _, dual = _window_plan(lanes, lane_offs)
+    grid_bytes = x_dim * f_pad * lanes * 4 * (2 if dual else 1)
     banks = _pick_banks(grid_bytes)
 
+    host = _ADDR == "host"
     kernel = functools.partial(
         _slice_bwd_kernel, n_points=k_pad, f_pad=f_pad, lanes=lanes,
         lane_offs=lane_offs, tile=tile, banks=banks,
-        n_data=_n_point_refs(k_pad))
+        n_data=_n_point_refs(k_pad), x_dim=x_dim, host_addr=host)
+    smem_a, smem_b = ((_host_addrs(x0, lane0, sizes, f_pad, lane_offs))
+                      if host else (x0, lane0))
     scratch = [pltpu.VMEM((tile, window), jnp.float32),
                pltpu.VMEM((tile, window), jnp.float32)]
-    scratch += [pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32)
-                for _ in range(banks - 1)]
+    if dual:
+        scratch += [pltpu.VMEM((1, 2 * x_dim * f_pad, lanes), jnp.float32)
+                    for _ in range(banks)]
+        scratch.append(
+            pltpu.VMEM((2 * x_dim * f_pad, lanes), jnp.float32))
+    else:
+        scratch += [pltpu.VMEM((1, x_dim * f_pad, lanes), jnp.float32)
+                    for _ in range(banks - 1)]
     dgrid, dwlo, dwhi = pl.pallas_call(
         kernel,
         grid=(r,),
@@ -881,7 +1143,7 @@ def pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts, grid, sizes, feat,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0[:, None, :], lane0[:, None, :],
+    )(smem_a[:, None, :], smem_b[:, None, :],
       *_point_args(lane0, w_lo, w_hi, g_pts, tile), gk)
 
     dg = (dgrid if kernel_layout

@@ -228,3 +228,53 @@ class TestTileInvariance:
         for a, b in zip(*results):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+
+class TestWindowModes:
+    """The window/address experiment knobs (dual-image 128-lane windows,
+    host-precomputed addresses — see the _WINDOW_MODE/_ADDR notes in
+    ops/pallas_splat.py) must be bit-equal to the classic defaults on all
+    four kernels, including exact-boundary and exact-integer keys."""
+
+    @pytest.mark.parametrize("sizes", [(16, 16, 16), (8, 16, 16)])
+    def test_dual_host_matches_classic_kernel(self, rng, sizes):
+        import cloud_transformers_tpu.ops.pallas_splat as ps
+        r, k, feat = 2, 32, 8
+        dim = len(sizes)
+        keys = rng.uniform(0, np.array(sizes) - 1.0, (r, k, dim)).astype(
+            np.float32)
+        keys[0, 0] = np.array(sizes) - 1.0           # exact upper boundary
+        keys[0, 1] = 0.0
+        keys[0, 2] = np.floor(keys[0, 2])            # exact integer cell
+        x0, lane0, w_lo, w_hi = jax.jit(
+            vertex_decomposition, static_argnames="sizes")(
+                jnp.asarray(keys), tuple(sizes))
+        vals = jnp.asarray(rng.randn(r, k, feat), jnp.float32)
+        g_pts = jnp.asarray(rng.randn(r, k, feat), jnp.float32)
+
+        outs = {}
+        try:
+            for mode, addr in (("classic", "kernel"), ("dual", "host"),
+                               ("classic", "host")):
+                ps._WINDOW_MODE, ps._ADDR = mode, addr
+                grid = ps.pallas_splat(x0, lane0, w_lo, w_hi, vals,
+                                       tuple(sizes), feat, interpret=True)
+                g = jnp.asarray(rng.randn(*grid.shape), jnp.float32) \
+                    if (mode, addr) == ("classic", "kernel") else outs[
+                        ("classic", "kernel")][-1]
+                sl = ps.pallas_slice(x0, lane0, w_lo, w_hi, grid,
+                                     tuple(sizes), feat, interpret=True)
+                sbwd = ps.pallas_slice_bwd(x0, lane0, w_lo, w_hi, g_pts,
+                                           grid, tuple(sizes), feat,
+                                           interpret=True)
+                pbwd = ps.pallas_splat_bwd(x0, lane0, w_lo, w_hi, vals,
+                                           grid, g, tuple(sizes), feat,
+                                           interpret=True)
+                outs[(mode, addr)] = [grid, sl, *sbwd, *pbwd, g]
+        finally:
+            ps._WINDOW_MODE, ps._ADDR = "classic", "kernel"
+        ref = outs[("classic", "kernel")]
+        for key in (("dual", "host"), ("classic", "host")):
+            for a, b in zip(ref[:-1], outs[key][:-1]):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-6)
