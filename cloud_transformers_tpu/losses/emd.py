@@ -37,6 +37,26 @@ import jax.numpy as jnp
 
 _NEG = -1e9
 
+# Fused Pallas bid search (ops/pallas_emd.py) for rounds at or above this
+# bidder width; narrower rounds keep the XLA scan.  Measured on v5e (B=8,
+# M=16384, ms/round): W=256 XLA 1.0 / Pallas 1.6; W=512 2.1/3.1; W=1024
+# 2.8/2.7; W=2048 6.2/4.2; W=16384 47.8/25.1 — the kernel's fused value+
+# top-2 pass wins once the [M, W] work amortizes its serial target loop;
+# below that XLA's MXU einsum chunks win.  None disables.  Reference
+# analog: Bid kernel, emd_cuda.cu:95-179.
+_PALLAS_BID_MIN_WIDTH = 1024
+
+
+def _top2_dispatch(x1w, x2, price, chunk_size):
+    w = x1w.shape[1]
+    if _PALLAS_BID_MIN_WIDTH is None or w < _PALLAS_BID_MIN_WIDTH:
+        return _top2_values(x1w, x2, price, chunk_size)
+    from cloud_transformers_tpu.ops.pallas_emd import pallas_top2
+    return jax.lax.platform_dependent(
+        x1w, x2, price,
+        tpu=pallas_top2,
+        default=lambda a, b, c: _top2_values(a, b, c, chunk_size))
+
 
 def _top2_values(x1, x2, price, chunk_size):
     """Per x1 point: best and second-best bid value over x2, plus argmax.
@@ -122,7 +142,7 @@ def _auction_round(x1, x2, eps, chunk_size, state, last, idx=None):
         x1w = jnp.take_along_axis(x1, idxc[..., None], axis=1)
         j_real = jnp.where(bid, idxc, n)
 
-    best, better, best_i = _top2_values(x1w, x2, price, chunk_size)
+    best, better, best_i = _top2_dispatch(x1w, x2, price, chunk_size)
     bid_inc = best - better + eps  # > 0
 
     # winner per target among bidders: max increment, ties -> lowest j
@@ -182,7 +202,10 @@ def emd_auction_with_rounds(xyz1, xyz2, eps=0.005, iters=50,
         # Width schedule: full-width rounds while many points bid, then
         # cap-compacted rounds (N/8, N/64) for the long convergence tail,
         # cutting the per-round bid search by the same factor.
-        caps = [c for c in (n // 8, n // 64) if c >= 256]
+        # finer width steps cost nothing when convergence skips them (each
+        # phase exits immediately once unassigned <= the next cap) and cut
+        # the per-round bid search whenever it doesn't
+        caps = [c for c in (n // 8, n // 16, n // 32, n // 64) if c >= 256]
 
         def max_unassigned(s):
             return jnp.max(jnp.sum((s[0] < 0).astype(jnp.int32), axis=1))

@@ -171,3 +171,45 @@ class TestFScore:
         f, p, r = f_score(jnp.asarray(pred), gt, threshold=0.01)
         np.testing.assert_allclose(float(p[0]), 0.5, atol=1e-6)
         np.testing.assert_allclose(float(r[0]), 0.5, atol=1e-6)
+
+
+class TestPallasBidKernel:
+    """ops/pallas_emd.pallas_top2 must match the XLA scan `_top2_values`
+    exactly (values AND first-occurrence argmax ties) — it replaces the
+    scan for compacted auction rounds on TPU."""
+
+    @pytest.mark.parametrize("b,w,m", [(2, 256, 1024), (2, 300, 1000),
+                                       (1, 256, 256)])
+    def test_matches_xla_scan(self, rng, b, w, m):
+        from cloud_transformers_tpu.losses.emd import _top2_values
+        from cloud_transformers_tpu.ops.pallas_emd import pallas_top2
+        x1 = jnp.asarray(rng.rand(b, w, 3), jnp.float32)
+        x2 = jnp.asarray(rng.rand(b, m, 3), jnp.float32)
+        price = jnp.asarray(rng.rand(b, m) * 0.1, jnp.float32)
+        bs, bt, bi = _top2_values(x1, x2, price, 2048)
+        ps, pt, pi = pallas_top2(x1, x2, price, interpret=True)
+        # values agree to float-reassociation noise (~1e-5 on bids ~3.0;
+        # the auction's eps slack is 4e-3, 400x larger); argmax EXACT
+        np.testing.assert_allclose(np.asarray(bs), np.asarray(ps),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(bt), np.asarray(pt),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(pi))
+
+    def test_duplicate_target_ties(self, rng):
+        from cloud_transformers_tpu.losses.emd import _top2_values
+        from cloud_transformers_tpu.ops.pallas_emd import pallas_top2
+        b, w = 1, 256
+        x1 = jnp.asarray(rng.rand(b, w, 3), jnp.float32)
+        half = jnp.asarray(rng.rand(b, 300, 3), jnp.float32)
+        x2 = jnp.concatenate([half, half], axis=1)   # exact duplicates
+        price = jnp.zeros((b, 600), jnp.float32)
+        bs, bt, bi = _top2_values(x1, x2, price, 2048)
+        ps, pt, pi = pallas_top2(x1, x2, price, interpret=True)
+        np.testing.assert_allclose(np.asarray(bs), np.asarray(ps),
+                                   rtol=0, atol=2e-5)
+        # on an exact duplicate, second-best == best and argmax takes the
+        # FIRST occurrence in both implementations
+        np.testing.assert_allclose(np.asarray(bt), np.asarray(pt),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(pi))
