@@ -171,12 +171,17 @@ def bench_inpainter_inference(batch=2, points=16384, partial=2048,
 
 SECTIONS = {
     # name -> (python expression producing a dict of result fields, timeout_s)
-    "cls_bf16": (
-        "dict(zip(('clouds_per_sec','classifier_ms_per_batch8'),"
-        "bench_classifier_inference(mxu_dtype='bfloat16')))", 900),
+    # HEADLINE = f32 (round-4 demotion of the bf16 "production config":
+    # measured bf16-vs-f32 on v5e is <1% on EVERY family — classifier
+    # 196.5 vs 195.8 ms, reconstructor 0.701 vs 0.706 s, inpainter 0.391
+    # vs 0.394 s — because device time is dominated by the f32 per-point
+    # splat/slice kernels, not the MXU.  bf16 rows stay for the record.)
     "cls_f32": (
-        "{'classifier_f32_ms_per_batch8':"
-        "bench_classifier_inference(mxu_dtype=None)[1]}", 900),
+        "dict(zip(('clouds_per_sec','classifier_f32_ms_per_batch8'),"
+        "bench_classifier_inference(mxu_dtype=None)))", 900),
+    "cls_bf16": (
+        "{'classifier_bf16_ms_per_batch8':"
+        "bench_classifier_inference(mxu_dtype='bfloat16')[1]}", 900),
     "splat_slice": (
         "dict(zip(('splat_slice_mpoints_per_sec','splat_slice_s'),"
         "bench_splat_slice()))", 600),
@@ -198,7 +203,7 @@ SECTIONS = {
 }
 
 _MS_FIELDS = {  # seconds field -> reported milliseconds field
-    "classifier_ms_per_batch8": 1e3,
+    "classifier_bf16_ms_per_batch8": 1e3,
     "classifier_f32_ms_per_batch8": 1e3,
     "splat_slice_s": ("splat_slice_ms", 1e3),
     "splat_slice_b32_s": ("splat_slice_b32_ms", 1e3),
@@ -378,7 +383,7 @@ def main():
 
     out.pop("clouds_per_sec", None)
     print(json.dumps({
-        "metric": "clouds/sec/chip (ScanObjectNN infer, bf16 prod config)",
+        "metric": "clouds/sec/chip (ScanObjectNN infer, f32)",
         "value": round(clouds_per_sec, 1) if clouds_per_sec else None,
         "unit": "clouds/sec",
         "vs_baseline": vs,
