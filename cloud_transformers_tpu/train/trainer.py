@@ -41,6 +41,12 @@ class Trainer:
         self.loss_fn = loss_fn
         self.eval_fn = eval_fn or loss_fn
         self.logger = setup_logger()
+        # Persistent executable cache: on for local PJRT runtimes, off on
+        # the axon tunnel (measured net loss there — see
+        # utils/compile_cache.py docstring for the A/B numbers).
+        from cloud_transformers_tpu.utils.compile_cache import (
+            enable_persistent_cache)
+        enable_persistent_cache()
         self.mesh = mesh if mesh is not None else make_mesh(n_points=1)
         self.rng = jax.random.PRNGKey(seed)
 
