@@ -26,10 +26,14 @@ import time
 
 import numpy as np
 
-# NOTE: jax's persistent compilation cache was tried here and REVERTED — on
-# this tunneled runtime a trivial jit hangs with the cache enabled (and
-# cached AOT executables can hit libtpu version mismatches across driver
-# restarts, the exact failure mode of the round-1 multichip dryrun).
+# NOTE: jax's persistent compilation cache is intentionally NOT enabled
+# here.  Round 4 root-caused the round-2 hang (metadata RPCs in the cache
+# key wedge the axon tunnel's data plane — see utils/compile_cache.py) and
+# measured the patched cache anyway: a warm hit on the classifier train
+# step costs 283 s vs a 70 s plain recompile, because the serialized
+# executable must ride the tunnel both ways.  The per-section subprocess +
+# .bench_cache/ result cache below is the effective warm-wall strategy on
+# this runtime.
 
 
 # accumulated per-process timing attribution: compile seconds (first-call
