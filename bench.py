@@ -5,9 +5,21 @@ BASELINE.md) + fused splat+slice throughput + per-model rows.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-The reference publishes no GPU throughput numbers (BASELINE.md), so
-``vs_baseline`` is measured against the recorded value of the previous round
-when available (bench_baseline.json), else 1.0.
+The reference publishes no GPU throughput numbers (BASELINE.md), so the
+artifact carries two comparisons, both computed from the B=8 row to match
+the recorded protocols like-for-like (round-4 ADVICE):
+
+* ``vs_baseline`` — against the PINNED round-1 recording
+  (bench_baseline.json, frozen; the long-run trend line);
+* ``vs_prev_round`` — against the newest ``BENCH_r*.json`` B=8 value
+  (the round-over-round delta).
+
+Round 4 regressed every TPU number 10-17% and attributed it to a slower
+tunnel without proof; the ``calibration`` section (pinned fixed work,
+``bench_calibration_ref.json``) now measures the environment each round so
+raw numbers can be normalized: ``*_normalized`` fields multiply by the
+calibration ratio (current/pinned) — if the environment is slower, the
+ratio > 1 credits it back.  Raw numbers always stay in the artifact.
 
 Resilience: this machine's TPU tunnel can hang for hours (ROADMAP known-gap
 #5) and first compiles are minutes.  Each section therefore runs in its own
@@ -93,6 +105,119 @@ def bench_classifier_inference(batch=8, points=2048, mxu_dtype=None):
     return batch / dt, dt
 
 
+def bench_calibration():
+    """PINNED fixed-work environment calibration — **FROZEN as of round 5,
+    never edit** (shapes, seeds, op mix, iteration counts): this section
+    must measure the ENVIRONMENT (tunnel + runtime + chip), not the repo's
+    code, so round-over-round section comparisons have a yardstick
+    (round-4 VERDICT #2: all sections regressed 10-17% with only a verbal
+    "the tunnel is slower today" attribution).  Three probes, all stock
+    XLA — immune to repo code changes:
+
+    * ``calib_matmul_ms`` — 8 chained [2048,2048] f32 matmuls + tanh:
+      pure device compute (MXU); moves only if the chip/runtime changes.
+    * ``calib_scatter_ms`` — 1M-element scatter-max + gather into a 32k
+      table: VPU/HBM-bound dynamic addressing, the resource class the
+      per-point splat/slice kernels live in.
+    * ``calib_dispatch_ms`` — 64 dependent tiny jit calls, one readback:
+      per-dispatch tunnel overhead, the suspected round-4 regressor.
+
+    ``calib_total_ms`` (the sum) is the normalization yardstick against
+    ``bench_calibration_ref.json`` (recorded round 5, frozen).  Each probe
+    reports the MIN of 3 measure() passes: the work is fixed, so noise is
+    strictly additive and min is the robust estimator (measured pin-day
+    spread of single passes: scatter +-1%, matmul +-10%, dispatch +-18%)."""
+    import jax
+    import jax.numpy as jnp
+
+    def min3(fn, *args, iters):
+        return min(measure(fn, *args, iters=iters) for _ in range(3))
+
+    a = jax.random.normal(jax.random.PRNGKey(7), (2048, 2048), jnp.float32)
+
+    @jax.jit
+    def matmul_work(a):
+        b = a
+        for _ in range(8):
+            b = jnp.tanh(b @ a)
+        return jnp.sum(b)
+
+    mm = min3(matmul_work, a, iters=20)
+
+    idx = jax.random.randint(jax.random.PRNGKey(3), (1 << 20,), 0, 1 << 15)
+    vals = jax.random.normal(jax.random.PRNGKey(4), (1 << 20,), jnp.float32)
+
+    @jax.jit
+    def scatter_work(idx, vals):
+        table = jnp.zeros((1 << 15,), jnp.float32).at[idx].max(vals)
+        return jnp.sum(table[idx] * vals)
+
+    scat = min3(scatter_work, idx, vals, iters=20)
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    tiny = jax.jit(lambda x: x + 1.0)
+
+    def dispatch_chain(x):
+        for _ in range(64):
+            x = tiny(x)
+        return x
+
+    disp = min3(dispatch_chain, x, iters=10)
+    return {"calib_matmul_ms": mm * 1e3, "calib_scatter_ms": scat * 1e3,
+            "calib_dispatch_ms": disp * 1e3,
+            "calib_total_ms": (mm + scat + disp) * 1e3}
+
+
+def bench_train_step(batch=8, points=2048, mxu_dtype=None):
+    """Classifier train step — fwd + bwd + Adam update — at the production
+    shape (B=8 x 2048), f32.  Round-2 set a <=1.0 s target; round 4 shipped
+    new conv backward kernels (pallas_grid_conv dw/dm2d) but recorded no
+    train-step number (VERDICT r4 weak #3) — this puts the fwd+bwd path
+    back in the round artifact."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cloud_transformers_tpu.models import get_model
+    from cloud_transformers_tpu.nn.precision import set_default_mxu_dtype
+
+    set_default_mxu_dtype(mxu_dtype)
+    try:
+        model = get_model("scanobject_classifier", n_classes=15)
+        pcd = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3))
+        labels = jnp.zeros((batch,), jnp.int32)
+        variables = jax.jit(
+            lambda: model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)},
+                               pcd, train=True))()
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        def loss_fn(p, bs, x, y):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": bs}, x, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                out[0], y).mean()
+            return loss, upd["batch_stats"]
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        @jax.jit
+        def step(p, bs, os_, x, y):
+            (loss, bs2), grads = grad_fn(p, bs, x, y)
+            updates, os2 = tx.update(grads, os_, p)
+            return optax.apply_updates(p, updates), bs2, os2, loss
+
+        dt = measure(step, params, batch_stats, opt_state, pcd, labels,
+                     iters=10)
+    finally:
+        set_default_mxu_dtype(None)
+    return dt
+
+
 def bench_splat_slice(batch=8, points=2048, heads=16, feat=8, size=32):
     """Fused positions+splat+slice round trip, Mpoints/sec (counting each
     cloud point once per head group); mapping API -> Pallas kernel."""
@@ -175,6 +300,9 @@ def bench_inpainter_inference(batch=2, points=16384, partial=2048,
 
 SECTIONS = {
     # name -> (python expression producing a dict of result fields, timeout_s)
+    # calibration runs FIRST: it stamps the environment the rest of the
+    # sections were measured in (pinned fixed work — see bench_calibration)
+    "calibration": ("bench_calibration()", 600),
     # HEADLINE = f32 (round-4 demotion of the bf16 "production config":
     # measured bf16-vs-f32 on v5e is <1% on EVERY family — classifier
     # 196.5 vs 195.8 ms, reconstructor 0.701 vs 0.706 s, inpainter 0.391
@@ -183,11 +311,11 @@ SECTIONS = {
     "cls_f32": (
         "dict(zip(('clouds_per_sec','classifier_f32_ms_per_batch8'),"
         "bench_classifier_inference(mxu_dtype=None)))", 900),
-    # Throughput-serving row: BASELINE.md pins the protocol (2048-pt clouds)
-    # but not a batch size; clouds/sec/chip is a throughput metric, and the
-    # per-point kernels amortize their fixed per-dispatch cost at larger
-    # batches (splat_slice b8 -> b32 measured +20% Mpt/s).  The headline
-    # reports the best batch and carries both rows for transparency.
+    # B=32 row: a regression tripwire, not a throughput win — the splat
+    # kernel alone gains at b32 (+13% Mpt/s, round 4) but the full
+    # classifier measured SLOWER per cloud (40.0 vs 41.6 clouds/s, r4),
+    # so b8 remains the expected headline; see ROADMAP's B=32 breakdown
+    # (round-4 ADVICE: the old comment claimed a win that wasn't there).
     "cls_f32_b32": (
         "dict(zip(('clouds_per_sec_b32','classifier_f32_ms_per_batch32'),"
         "bench_classifier_inference(batch=32, mxu_dtype=None)))", 900),
@@ -212,6 +340,8 @@ SECTIONS = {
     "inpainter_f32": (
         "{'inpainter_f32_s_per_batch2_16k':"
         " bench_inpainter_inference(mxu_dtype=None)}", 900),
+    "train_step": (
+        "{'train_step_f32_s': bench_train_step()}", 900),
 }
 
 _MS_FIELDS = {  # seconds field -> reported milliseconds field
@@ -228,6 +358,7 @@ _MS_FIELDS = {  # seconds field -> reported milliseconds field
                                         1e3),
     "inpainter_f32_s_per_batch2_16k": ("inpainter_f32_ms_per_batch2_16k",
                                        1e3),
+    "train_step_f32_s": ("train_step_f32_ms", 1e3),
 }
 
 
@@ -388,16 +519,52 @@ def main():
                    (fields.get("clouds_per_sec_b32"), 32)) if v]
     clouds_per_sec, headline_batch = max(candidates) if candidates else \
         (None, None)
+    cps_b8 = fields.get("clouds_per_sec")
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
-    # vs_baseline is null when the headline metric is missing (round-3
-    # ADVICE: a 1.0 there misread as "parity")
+    # vs_baseline: STRICTLY the B=8 row against the pinned round-1
+    # recording, which was itself B=8 (round-4 ADVICE: a best-batch
+    # numerator against a B=8 denominator conflates batch amortization
+    # with improvement).  Null when the b8 row is missing (round-3
+    # ADVICE: a 1.0 there misread as "parity").
     vs = None
-    if clouds_per_sec and os.path.exists(baseline_path):
+    if cps_b8 and os.path.exists(baseline_path):
         try:
             base = json.load(open(baseline_path))
             if base.get("value"):
-                vs = round(clouds_per_sec / float(base["value"]), 3)
+                vs = round(cps_b8 / float(base["value"]), 3)
+        except Exception:
+            pass
+
+    # vs_prev_round: the same B=8 metric against the newest BENCH_r*.json
+    # (the round-over-round delta the docstring promises).
+    vs_prev = prev_b8 = None
+    if cps_b8:
+        import glob
+        import re
+        prevs = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")),
+                       key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+        if prevs:
+            try:
+                parsed = json.load(open(prevs[-1])).get("parsed", {})
+                prev_b8 = parsed.get("clouds_per_sec_b8") or parsed.get(
+                    "value")
+                if prev_b8:
+                    vs_prev = round(cps_b8 / float(prev_b8), 3)
+            except Exception:
+                pass
+
+    # calibration normalization: if the pinned-ref file exists, report the
+    # environment ratio and a normalized b8 headline (raw always stays).
+    calib_ratio = cps_b8_norm = None
+    calib_now = fields.get("calib_total_ms")
+    ref_path = os.path.join(_REPO, "bench_calibration_ref.json")
+    if calib_now and os.path.exists(ref_path):
+        try:
+            ref = json.load(open(ref_path))
+            calib_ratio = round(calib_now / float(ref["calib_total_ms"]), 4)
+            if cps_b8:
+                cps_b8_norm = round(cps_b8 * calib_ratio, 1)
         except Exception:
             pass
 
@@ -413,7 +580,16 @@ def main():
         "value": round(clouds_per_sec, 1) if clouds_per_sec else None,
         "unit": "clouds/sec",
         "vs_baseline": vs,
+        **({"vs_prev_round": vs_prev} if vs_prev else {}),
         **({"headline_batch": headline_batch} if headline_batch else {}),
+        # explicit marker when the headline's batch protocol differs from
+        # the baseline's B=8 (round-4 ADVICE: silent protocol flips make
+        # round-over-round headlines non-comparable)
+        **({"headline_protocol_differs_from_baseline": True}
+           if headline_batch not in (None, 8) else {}),
+        **({"calib_ratio_vs_ref": calib_ratio} if calib_ratio else {}),
+        **({"clouds_per_sec_b8_normalized": cps_b8_norm}
+           if cps_b8_norm else {}),
         **cps_rows,
         **out,
         "sections": ",".join(ran),

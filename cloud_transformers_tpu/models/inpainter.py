@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from cloud_transformers_tpu.models import register
 from cloud_transformers_tpu.models.classifier import (
+    DEFAULT_STAGE_PLAN,
     ClassifierBackbone,
     mhct_block_configs,
 )
@@ -22,16 +23,34 @@ from cloud_transformers_tpu.nn.precision import MXUDense
 
 
 class CompletionEncoder(nn.Module):
-    """Backbone -> Linear(2048, 1024) + BN + ReLU (inpainter.py:23-116)."""
+    """Backbone -> Linear(2048, 1024) + BN + ReLU (inpainter.py:23-116).
+
+    Size knobs default to the production network; the driver's multichip
+    dryrun instantiates the same class with tiny values (same code path —
+    see ClassifierBackbone)."""
 
     model_dim: int = 512
+    latent_width: int = 1024
+    repeats: int = 4
+    stage_plan: tuple = DEFAULT_STAGE_PLAN
+    pool_heads: int = 16
+    pool_feature_dims: tuple = (32, 16)
+    pool_sizes: tuple = (8, 16)
+    trunk_width: int = 64
 
     @nn.compact
     def __call__(self, pcd, train=True):
         _, pooled, stats = ClassifierBackbone(
-            model_dim=self.model_dim, name="backbone")(pcd, train=train)
-        z = MXUDense(1024, kernel_init=torch_kernel_init(),
-                     bias_init=torch_bias_init(2048), name="class_head")(pooled)
+            model_dim=self.model_dim, repeats=self.repeats,
+            stage_plan=self.stage_plan, pool_heads=self.pool_heads,
+            pool_feature_dims=self.pool_feature_dims,
+            pool_sizes=self.pool_sizes, trunk_width=self.trunk_width,
+            name="backbone")(pcd, train=train)
+        # pooled is [B, 2*trunk_width*pool_heads] (2048 in production)
+        z = MXUDense(self.latent_width, kernel_init=torch_kernel_init(),
+                     bias_init=torch_bias_init(
+                         2 * self.trunk_width * self.pool_heads),
+                     name="class_head")(pooled)
         z = nn.relu(_bn(train, name="class_head_bn")(z))
         return z, stats
 
@@ -40,13 +59,15 @@ class AdaInStage(nn.Module):
     """One repeat of the 3-AdaIN-union pattern (scan cell body)."""
 
     model_dim: int = 512
+    stage_plan: tuple = DEFAULT_STAGE_PLAN
     train: bool = True
 
     @nn.compact
     def __call__(self, x, z, keys_xyz):
         import jax.numpy as jnp
         stats = []
-        for i, cfg in enumerate(mhct_block_configs(repeats=1)):
+        for i, cfg in enumerate(
+                mhct_block_configs(repeats=1, plan=self.stage_plan)):
             x, s = MultiHeadUnionAdaIn(model_dim=self.model_dim,
                                        model_dim_out=self.model_dim,
                                        name=f"union_{i}", **cfg)(
@@ -64,6 +85,7 @@ class AdaInDecoder(nn.Module):
     model_dim: int = 512
     remat: bool = True
     repeats: int = 4
+    stage_plan: tuple = DEFAULT_STAGE_PLAN
     remat_policy: str = "point_io"  # see MHCTTrunk.remat_policy
 
     @nn.compact
@@ -81,7 +103,8 @@ class AdaInDecoder(nn.Module):
             length=self.repeats,
             metadata_params={nn.PARTITION_NAME: None},
         )
-        x, stats_sc = scan(model_dim=self.model_dim, train=train,
+        x, stats_sc = scan(model_dim=self.model_dim,
+                           stage_plan=self.stage_plan, train=train,
                            name="stages")(x, z, keys_xyz)
         n = next(iter(stats_sc.values())).shape[1]
         stats = [{k: stats_sc[k][r, i] for k in stats_sc}
@@ -95,15 +118,28 @@ class Inpainter(nn.Module):
 
     num_latent: int = 512
     model_dim: int = 512
+    latent_width: int = 1024              # encoder Linear width
+    encoder_repeats: int = 4
+    decoder_repeats: int = 4
+    stage_plan: tuple = DEFAULT_STAGE_PLAN
+    pool_heads: int = 16
+    pool_feature_dims: tuple = (32, 16)
+    pool_sizes: tuple = (8, 16)
+    trunk_width: int = 64
 
     remat_policy: str = "point_io"  # see MHCTTrunk.remat_policy
 
     @nn.compact
     def __call__(self, noise, partial, train=True):
-        z, enc_stats = CompletionEncoder(model_dim=self.model_dim,
-                                         name="encoder")(partial, train=train)
+        z, enc_stats = CompletionEncoder(
+            model_dim=self.model_dim, latent_width=self.latent_width,
+            repeats=self.encoder_repeats, stage_plan=self.stage_plan,
+            pool_heads=self.pool_heads,
+            pool_feature_dims=self.pool_feature_dims,
+            pool_sizes=self.pool_sizes, trunk_width=self.trunk_width,
+            name="encoder")(partial, train=train)
         z = nn.relu(MXUDense(self.num_latent, kernel_init=torch_kernel_init(),
-                             bias_init=torch_bias_init(1024),
+                             bias_init=torch_bias_init(self.latent_width),
                              name="mapping")(z))
 
         x = MXUDense(self.model_dim, use_bias=False,
@@ -111,6 +147,8 @@ class Inpainter(nn.Module):
         x = nn.relu(AdaIn1d(self.model_dim, name="start_adain")(x, z))
 
         x, dec_stats = AdaInDecoder(model_dim=self.model_dim,
+                                    repeats=self.decoder_repeats,
+                                    stage_plan=self.stage_plan,
                                     remat_policy=self.remat_policy,
                                     name="decoder")(
             x, z, noise[..., :3], train=train)

