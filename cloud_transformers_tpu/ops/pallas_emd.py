@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e9          # must match losses/emd.py
+_BIG_J = np.int32(2**30)   # "no bidder" sentinel in per-target argmin-j
 W_TILE = 256
 
 
@@ -184,3 +185,255 @@ def pallas_top2(x1, x2, price, interpret=False):
         interpret=interpret,
     )(x1p, jnp.asarray(x2b), prb)
     return best[:, 0, :w], better[:, 0, :w], best_i[:, 0, :w]
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-round auction window
+#
+# The 3000-round eval-protocol tail (train_inpainter.py:267-269) runs at
+# compacted widths where each round's arithmetic is tiny but each round is a
+# separate dispatch: measured ~1.7 ms/round fixed cost on the tunnel runtime
+# (ROADMAP round-4 table), i.e. the tail's wall time is dispatch, not math.
+# This kernel runs up to ``rounds_cap`` WHOLE auction rounds in ONE pallas
+# call, with the price and owner (assignment-inverse) state resident in VMEM
+# across rounds.
+#
+# Per-round structure (one program per batch row, W bidders in lanes):
+#   phase 1  bid search: the same streamed [m_tile, W] top-2 pass as
+#            ``pallas_top2`` above (targets in sublanes, one [m_tile,3]@[3,W]
+#            MXU matmul per tile).
+#   phase 2  conflict resolution + state update, fully vectorized: targets
+#            are PARTITIONED across tiles, so for any target its winner
+#            (max bid increment, ties -> lowest original bidder id,
+#            emd_cuda.cu:181-194) is decided entirely within its tile's
+#            [m_tile, W] one-hot block — no scatters, no scalar addressing.
+#            The same pass applies the price bump, swaps the owner, and
+#            flags in-window evictions back into the bidder mask.
+#
+# Window semantics (vs losses/emd.py's per-round XLA compaction): the bidder
+# set is FIXED for the window; bidders assigned mid-window stop bidding
+# (local mask), in-window evicted bidders resume, and points evicted whose
+# owner is OUTSIDE the window simply wait for the next window's compaction —
+# any-subset bidding keeps auction convergence (prices are monotone).  The
+# full assignment array is NOT kernel state: it is derived outside from the
+# owner map (assignment = inverse of inv on its >= 0 entries).
+# ---------------------------------------------------------------------------
+
+
+def _window_m_tile(w_pad, m):
+    """Target-tile height for the window kernel: keep the [m_tile, W] value
+    block at 2 MB so taller tiles amortize the in-kernel loop's fixed costs
+    at the narrow widths the convergence tail runs at; never taller than the
+    (256-padded) target count itself."""
+    cap = max(256, (2 * 1024 * 1024 // 4) // w_pad)
+    return min(cap, -(-m // 256) * 256)
+
+
+def pack_targets(x2, m_tile):
+    """[B, M, 3] -> [B, m_tiles, m_tile, 8] blocks (coords + |x2|^2), padded
+    with far-away dummy targets no bidder can ever pick."""
+    b, m, _ = x2.shape
+    m_pad = -(-m // m_tile) * m_tile
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, 0), (0, m_pad - m), (0, 0)),
+                     constant_values=1e6)
+    x2sq = jnp.sum(x2 * x2, axis=-1, keepdims=True)
+    return jnp.concatenate(
+        [x2, x2sq, jnp.zeros((b, m_pad, 4), jnp.float32)],
+        axis=-1).reshape(b, m_pad // m_tile, m_tile, 8)
+
+
+def pack_col(v, m_tile, fill=0):
+    """[B, M] scalar-per-target state -> [B, m_tiles, m_tile, 8] blocks with
+    the payload in lane 0 (Mosaic block layout; lanes 1-7 padding)."""
+    b, m = v.shape
+    m_pad = -(-m // m_tile) * m_tile
+    if m_pad != m:
+        v = jnp.pad(v, ((0, 0), (0, m_pad - m)), constant_values=fill)
+    return jnp.pad(v[..., None], ((0, 0), (0, 0), (0, 7))).reshape(
+        b, m_pad // m_tile, m_tile, 8)
+
+
+def unpack_col(blocks, m):
+    """Inverse of ``pack_col``: [B, m_tiles, m_tile, 8] -> [B, M]."""
+    b = blocks.shape[0]
+    return blocks[..., 0].reshape(b, -1)[:, :m]
+
+
+def _auction_window_kernel(rem_ref, eps_ref, x1p_ref, jr_ref, x2_ref,
+                           pr_in, inv_in, pr_ref, inv_ref, rounds_ref, la_s,
+                           *, n, m_tiles, m_tile, w_pad, rounds_cap):
+    """One batch row's window: up to ``rounds_cap`` rounds, early exit when
+    every window bidder is assigned or the round budget is spent.
+
+    rem_ref SMEM [1, 1] i32: remaining protocol round budget.
+    eps_ref SMEM [1, 1] f32: bid increment slack.
+    """
+    neg = jnp.float32(_NEG)
+    pr_ref[:] = pr_in[:]
+    inv_ref[:] = inv_in[:]
+    la_s[:] = jnp.full_like(la_s, -1)
+
+    x1c = x1p_ref[0, 0:3, :]                     # [3, W]
+    x1sq = x1p_ref[0, 3:4, :]                    # [1, W]
+    jrow = jr_ref[0, 0:1, :]                     # [1, W] original point ids
+    valid = jrow < n
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (m_tile, w_pad), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (m_tile, 1), 0)
+    rem = rem_ref[0, 0]
+    eps = eps_ref[0, 0]
+
+    def round_body(r, carry):
+        done, used = carry
+        run = jnp.logical_not(done) & (r < rem)
+
+        @pl.when(run)
+        def _():
+            la = la_s[0:1, :]
+            active = (la < 0) & valid
+
+            def bid_tile(t, c):
+                best, better, bidx = c
+                x2r = x2_ref[0, t]                       # [m_tile, 8]
+                cross = jax.lax.dot_general(
+                    x2r[:, 0:3], x1c, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                d2 = x1sq + x2r[:, 3:4] - 2.0 * cross
+                value = (3.0 - jnp.sqrt(jnp.maximum(d2, 0.0))
+                         - pr_ref[0, t, :, 0:1])
+                m1 = jnp.max(value, axis=0, keepdims=True)
+                hit = value >= m1
+                idx_t = jnp.min(jnp.where(hit, sub_iota, m_tile), axis=0,
+                                keepdims=True)
+                masked = jnp.where(sub_iota == idx_t, neg, value)
+                m2 = jnp.max(masked, axis=0, keepdims=True)
+                nbi = jnp.where(m1 > best, t * m_tile + idx_t, bidx)
+                nbetter = jnp.maximum(jnp.minimum(best, m1),
+                                      jnp.maximum(better, m2))
+                return jnp.maximum(best, m1), nbetter, nbi
+
+            zero_w = jnp.zeros((1, w_pad), jnp.int32)
+            best, better, best_i = jax.lax.fori_loop(
+                0, m_tiles, bid_tile,
+                (jnp.full((1, w_pad), neg), jnp.full((1, w_pad), neg),
+                 zero_w))
+            inc = best - better + eps                    # [1, W], > 0
+
+            def resolve_tile(t, c):
+                win_lane, ev_lane = c
+                m_ids = t * m_tile + col_iota            # [m_tile, 1]
+                cont = (best_i == m_ids) & active        # [m_tile, W]
+                inc_m = jnp.where(cont, inc, neg)
+                seg_max = jnp.max(inc_m, axis=1, keepdims=True)
+                is_top = cont & (inc_m >= seg_max)
+                jc = jnp.where(is_top, jrow, _BIG_J)
+                seg_argj = jnp.min(jc, axis=1, keepdims=True)
+                winner_m = is_top & (jrow == seg_argj)
+                dp = jnp.max(jnp.where(winner_m, inc, 0.0), axis=1,
+                             keepdims=True)
+                new_owner = jnp.min(jnp.where(winner_m, jrow, _BIG_J),
+                                    axis=1, keepdims=True)
+                has_w = new_owner < _BIG_J
+                pr_ref[0, t, :, 0:1] = pr_ref[0, t, :, 0:1] + dp
+                prev = inv_ref[0, t, :, 0:1]
+                inv_ref[0, t, :, 0:1] = jnp.where(has_w, new_owner, prev)
+                evicted = jnp.where(has_w & (prev >= 0), prev,
+                                    jnp.int32(-1))
+                ev_t = jnp.max(
+                    ((evicted == jrow) & (evicted >= 0)).astype(jnp.int32),
+                    axis=0, keepdims=True)
+                win_t = jnp.max(winner_m.astype(jnp.int32), axis=0,
+                                keepdims=True)
+                return (jnp.maximum(win_lane, win_t),
+                        jnp.maximum(ev_lane, ev_t))
+
+            win_lane, ev_lane = jax.lax.fori_loop(
+                0, m_tiles, resolve_tile, (zero_w, zero_w))
+            la2 = jnp.where(win_lane > 0, best_i, la)
+            la_s[0:1, :] = jnp.where(ev_lane > 0, jnp.int32(-1), la2)
+
+        active_now = (la_s[0:1, :] < 0) & valid
+        all_done = jnp.sum(active_now.astype(jnp.int32)) == 0
+        return (done | all_done | (r + 1 >= rem),
+                used + jnp.where(run, 1, 0).astype(jnp.int32))
+
+    start_active = (la_s[0:1, :] < 0) & valid
+    done0 = jnp.sum(start_active.astype(jnp.int32)) == 0
+    _, used = jax.lax.fori_loop(0, rounds_cap, round_body,
+                                (done0, jnp.int32(0)))
+    rounds_ref[0, :, :] = jnp.full((8, 128), used, jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "rounds_cap", "interpret"))
+def pallas_auction_window(x1w, j_real, x2_blocks, pr_blocks, inv_blocks,
+                          rem, eps, *, n, rounds_cap=64, interpret=False):
+    """Run up to ``rounds_cap`` auction rounds for a fixed bidder window.
+
+    Args:
+      x1w: [B, W, 3] gathered bidder coords (window lanes; pad lanes
+        arbitrary — masked by ``j_real``).
+      j_real: [B, W] int32 original point id per lane, sentinel ``n`` for
+        padding lanes.
+      x2_blocks: [B, m_tiles, m_tile, 8] from ``pack_targets``.
+      pr_blocks / inv_blocks: price / owner state from ``pack_col``
+        (donated: aliased to the outputs).
+      rem: scalar int32, remaining protocol round budget (dynamic).
+      eps: scalar f32 bid slack (dynamic).
+      n: bidder universe size (static; the j sentinel).
+      rounds_cap: static max rounds this call may run.
+
+    Returns:
+      (pr_blocks', inv_blocks', rounds_used) — rounds_used [B] int32.
+    """
+    b, w, _ = x1w.shape
+    _, m_tiles, m_tile, _ = x2_blocks.shape
+    w_pad = -(-w // 128) * 128
+    if w_pad != w:
+        x1w = jnp.pad(x1w, ((0, 0), (0, w_pad - w), (0, 0)))
+        j_real = jnp.pad(j_real, ((0, 0), (0, w_pad - w)),
+                         constant_values=n)
+    x1t = jnp.swapaxes(x1w, 1, 2)                        # [B, 3, W]
+    x1p = jnp.concatenate(
+        [x1t, jnp.sum(x1t * x1t, axis=1, keepdims=True),
+         jnp.zeros((b, 4, w_pad), jnp.float32)], axis=1)
+    jr = jnp.pad(j_real[:, None, :].astype(jnp.int32),
+                 ((0, 0), (0, 7), (0, 0)), constant_values=n)
+    rem_arr = jnp.asarray(rem, jnp.int32).reshape(1, 1)
+    eps_arr = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _auction_window_kernel, n=n, m_tiles=m_tiles, m_tile=m_tile,
+        w_pad=w_pad, rounds_cap=rounds_cap)
+    blk = (1, m_tiles, m_tile, 8)
+    blk_spec = pl.BlockSpec(blk, lambda bi: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 8, w_pad), lambda bi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pr_out, inv_out, rounds = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            row_spec, row_spec, blk_spec, blk_spec, blk_spec,
+        ],
+        out_specs=(blk_spec, blk_spec,
+                   pl.BlockSpec((1, 8, 128), lambda bi: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct(pr_blocks.shape, jnp.float32),
+            jax.ShapeDtypeStruct(inv_blocks.shape, jnp.int32),
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, w_pad), jnp.int32)],
+        input_output_aliases={5: 0, 6: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(rem_arr, eps_arr, x1p, jr, x2_blocks,
+      pr_blocks.astype(jnp.float32), inv_blocks.astype(jnp.int32))
+    return pr_out, inv_out, rounds[:, 0, 0]
