@@ -187,6 +187,16 @@ class TestPortableImplToggle:
                                    atol=1e-3)
 
 
+def _clear_kernel_caches(ps):
+    """The kernels are module-level ``jax.jit`` callables whose experiment
+    knobs (tile, window mode, bwd mode) are read at TRACE time — without a
+    cache clear a knob-flip A/B silently compares a cached trace against
+    itself."""
+    for fn in (ps.pallas_splat, ps.pallas_slice, ps.pallas_splat_bwd,
+               ps.pallas_slice_bwd):
+        fn.clear_cache()
+
+
 class TestTileInvariance:
     """The tile size is a pure scheduling knob: all four kernels must
     produce identical results for different tiles (exercises the tiled
@@ -213,6 +223,7 @@ class TestTileInvariance:
         for tile in (8, 16):
             monkeypatch.setattr(ps, "_pick_tile",
                                 lambda k, interp, t=tile: t)
+            _clear_kernel_caches(ps)
             grid = ps.pallas_splat(x0, lane0, w_lo, w_hi, values, sizes,
                                    feat, interpret=True)
             sliced = ps.pallas_slice(x0, lane0, w_lo, w_hi, grid, sizes,
@@ -257,6 +268,7 @@ class TestWindowModes:
             for mode, addr in (("classic", "kernel"), ("dual", "host"),
                                ("classic", "host")):
                 ps._WINDOW_MODE, ps._ADDR = mode, addr
+                _clear_kernel_caches(ps)
                 grid = ps.pallas_splat(x0, lane0, w_lo, w_hi, vals,
                                        tuple(sizes), feat, interpret=True)
                 g = jnp.asarray(rng.randn(*grid.shape), jnp.float32) \
@@ -273,8 +285,57 @@ class TestWindowModes:
                 outs[(mode, addr)] = [grid, sl, *sbwd, *pbwd, g]
         finally:
             ps._WINDOW_MODE, ps._ADDR = "classic", "kernel"
+            _clear_kernel_caches(ps)
         ref = outs[("classic", "kernel")]
         for key in (("dual", "host"), ("classic", "host")):
             for a, b in zip(ref[:-1], outs[key][:-1]):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            atol=1e-6)
+
+
+class TestSplatBwdModes:
+    """The 'winner' splat backward (two claim-free passes: bank-rotated
+    scatter-min of the point index, then read-only cotangent routing) must
+    be BIT-equal to the serial 'claim' kernel — including exact ties, where
+    both must route each cell's cotangent to only the lowest-indexed
+    equal-to-max contributor (torch_scatter single-winner semantics)."""
+
+    @pytest.mark.parametrize("sizes", [(8, 8, 8), (16, 128)])
+    def test_winner_matches_claim_with_ties(self, rng, sizes):
+        import cloud_transformers_tpu.ops.pallas_splat as ps
+        r, k, feat = 3, 64, 8
+        dim = len(sizes)
+        keys = rng.uniform(0, np.array(sizes) - 1.0, (r, k, dim)).astype(
+            np.float32)
+        # exact duplicate points -> exactly tied max contributions
+        for a, b in ((3, 7), (10, 40), (0, 63)):
+            keys[:, b] = keys[:, a]
+        x0, lane0, w_lo, w_hi = jax.jit(
+            vertex_decomposition, static_argnames="sizes")(
+                jnp.asarray(keys), tuple(sizes))
+        vals = jnp.asarray(rng.randn(r, k, feat), jnp.float32)
+        for a, b in ((3, 7), (10, 40), (0, 63)):
+            vals = vals.at[:, b].set(vals[:, a])
+        grid = ps.pallas_splat(x0, lane0, w_lo, w_hi, vals, tuple(sizes),
+                               feat, interpret=True)
+        g = jnp.asarray(rng.randn(*grid.shape), jnp.float32)
+
+        outs = {}
+        try:
+            for mode in ("claim", "winner"):
+                ps._BWD_MODE = mode
+                _clear_kernel_caches(ps)
+                outs[mode] = [np.asarray(x) for x in ps.pallas_splat_bwd(
+                    x0, lane0, w_lo, w_hi, vals, grid, g, tuple(sizes),
+                    feat, interpret=True)]
+        finally:
+            ps._BWD_MODE = "winner"
+            _clear_kernel_caches(ps)
+        for a, b in zip(outs["claim"], outs["winner"]):
+            np.testing.assert_array_equal(a, b)
+        # the ties actually exercised single-winner routing: the duplicate
+        # point pairs must not BOTH receive d_values gradient anywhere
+        dval = outs["winner"][2]
+        for a, b in ((3, 7), (10, 40), (0, 63)):
+            both = (np.abs(dval[:, a]) > 0) & (np.abs(dval[:, b]) > 0)
+            assert not both.any()
