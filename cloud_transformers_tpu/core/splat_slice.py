@@ -407,14 +407,61 @@ def _splat_mk(sizes, x0, lane0, w_lo, w_hi, values):
     return _scatter_generic_k(x0, lane0, w_lo, w_hi, values, sizes, "max")
 
 
+# EXPERIMENT (measured, default OFF): track the argmax winner map IN the
+# forward scatter when it runs under AD (custom_vjp fwd only — the
+# primal/eval path never pays), collapsing the backward to the single
+# read-only routing pass (pallas_splat_bwd_routed).  Measured on v5e
+# (R=128 K=2048 F=8): the winner RMW costs only +1.7/+0.9 c/pt (32^3 /
+# 128^2) in the fwd, but the two-phase backward's scatter-min pass it
+# eliminates is just as small — routing alone is 42.4/38.4 c/pt of the
+# 52.5/43.9 two-phase total, i.e. the reduce work (sublane/lane reduces +
+# per-vertex dw dots), not the winner recomputation, is the backward's
+# real cost.  Classifier train step same-process A/B: 830.9 (on) vs 832.4
+# (off) ms — a wash — while compile time grew 85 -> 292 s.  Default OFF;
+# kernel + wiring + bit-exactness tests stay as the recorded rejection
+# (tests/test_splat_slice.py::test_fwd_winner_matches_two_phase_*).
+FWD_WINNER = False
+
+
+def _scatter_max_k_winner(x0, lane0, w_lo, w_hi, values, sizes):
+    """(grid_k, winner_k) for the AD forward — see FWD_WINNER above."""
+    feat = values.shape[-1]
+    if PORTABLE_IMPL == "interpret":
+        def portable(*a):
+            return _pallas_splat(*a, sizes, feat, op="max", interpret=True,
+                                 kernel_layout_out=True, with_winner=True)
+    else:
+        def portable(x0, lane0, w_lo, w_hi, values):
+            gk = _flat_to_kernel(
+                _scatter_portable(x0, lane0, w_lo, w_hi, values, sizes,
+                                  "max"), sizes, feat)
+            # placeholder aval-match only: the portable backward recomputes
+            # the winner matching itself and never reads this residual
+            return gk, jnp.zeros_like(gk)
+    if FORCE_XLA_PATH:
+        return portable(x0, lane0, w_lo, w_hi, values)
+    return jax.lax.platform_dependent(
+        x0, lane0, w_lo, w_hi, values,
+        tpu=lambda *a: _pallas_splat(*a, sizes, feat, op="max",
+                                     kernel_layout_out=True,
+                                     with_winner=True),
+        default=portable,
+    )
+
+
 def _splat_mk_fwd(sizes, x0, lane0, w_lo, w_hi, values):
-    gk = _scatter_generic_k(x0, lane0, w_lo, w_hi, values, sizes, "max")
-    return gk, (x0, lane0, w_lo, w_hi, values, gk)
+    if FWD_WINNER:
+        gk, wk = _scatter_max_k_winner(x0, lane0, w_lo, w_hi, values, sizes)
+    else:
+        gk = _scatter_generic_k(x0, lane0, w_lo, w_hi, values, sizes, "max")
+        wk = None
+    return gk, (x0, lane0, w_lo, w_hi, values, gk, wk)
 
 
 def _splat_mk_bwd(sizes, res, g):
-    from cloud_transformers_tpu.ops.pallas_splat import pallas_splat_bwd
-    x0, lane0, w_lo, w_hi, values, gk = res
+    from cloud_transformers_tpu.ops.pallas_splat import (
+        pallas_splat_bwd, pallas_splat_bwd_routed)
+    x0, lane0, w_lo, w_hi, values, gk, wk = res
     feat = values.shape[-1]
 
     def portable(x0, lane0, w_lo, w_hi, values, gk, g):
@@ -422,6 +469,29 @@ def _splat_mk_bwd(sizes, res, g):
             sizes, x0, lane0, w_lo, w_hi, values,
             _kernel_to_flat(gk, sizes, feat),
             _kernel_to_flat(g, sizes, feat))
+
+    if wk is not None:
+        # forward-tracked winner map: single routing pass; the portable
+        # branch keeps recomputing the match from the grid (its wk is a
+        # placeholder — see _scatter_max_k_winner)
+        if PORTABLE_IMPL == "interpret":
+            def portable_w(x0, lane0, w_lo, w_hi, values, wk, g):
+                return pallas_splat_bwd_routed(x0, lane0, w_lo, w_hi,
+                                               values, wk, g, sizes, feat,
+                                               interpret=True)
+        else:
+            def portable_w(x0, lane0, w_lo, w_hi, values, wk, g):
+                return portable(x0, lane0, w_lo, w_hi, values, gk, g)
+        if FORCE_XLA_PATH:
+            out = portable_w(x0, lane0, w_lo, w_hi, values, wk, g)
+        else:
+            out = jax.lax.platform_dependent(
+                x0, lane0, w_lo, w_hi, values, wk, g,
+                tpu=lambda *a: pallas_splat_bwd_routed(*a, sizes, feat),
+                default=portable_w,
+            )
+        d_wlo, d_whi, d_values = out
+        return (None, None, d_wlo, d_whi, d_values)
 
     if PORTABLE_IMPL == "interpret":
         def portable(*a):

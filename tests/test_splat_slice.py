@@ -233,6 +233,44 @@ class TestTieBreak:
         np.testing.assert_allclose(np.asarray(g[0, 5]), 0.0, atol=0)
         assert float(jnp.abs(g[0, 0]).max()) > 0
 
+    @pytest.mark.parametrize("dim", [2, 3])
+    def test_fwd_winner_matches_two_phase_kernel_layout(self, dim):
+        """The AD-forward winner map (FWD_WINNER: argmax tracked during the
+        scatter, backward = one routing pass) must give BIT-identical
+        gradients to the two-phase backward on the kernel-layout path,
+        including exact duplicate-point ties."""
+        from cloud_transformers_tpu.core import (
+            grid_mapping, splat_max_mapping_k, slice_grid_mapping_k)
+        from cloud_transformers_tpu.core import splat_slice as ss
+        import cloud_transformers_tpu.ops.pallas_splat as ps
+        sizes, keys, values, _ = self._dup_case(dim=dim)
+        hf = values.shape[-1]
+
+        def loss(keys, values):
+            m = grid_mapping(keys, sizes, len(sizes))
+            gk = splat_max_mapping_k(m, values, sizes)
+            out = slice_grid_mapping_k(m, gk, sizes, hf)
+            return jnp.sum(jnp.tanh(out) * 0.01)
+
+        grads = {}
+        old = ss.FWD_WINNER
+        try:
+            for fw in (False, True):
+                ss.FWD_WINNER = fw
+                for fn in (ps.pallas_splat, ps.pallas_splat_bwd,
+                           ps.pallas_splat_bwd_routed):
+                    fn.clear_cache()
+                grads[fw] = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+                    keys, values)
+        finally:
+            ss.FWD_WINNER = old
+        for a, b in zip(jax.tree_util.tree_leaves(grads[False]),
+                        jax.tree_util.tree_leaves(grads[True])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and the duplicate still gets exactly zero value-gradient
+        np.testing.assert_allclose(
+            np.asarray(grads[True][1][0, 5]), 0.0, atol=0)
+
     def test_duplicate_point_single_grad_path_core(self):
         """splat_max (_splat_core segment path) with two equal contributions
         in one cell: only the first gets the cotangent."""

@@ -28,6 +28,7 @@ Usage:
 """
 
 import argparse
+import os
 import sys
 import types
 
@@ -707,6 +708,17 @@ def main():
 
     install_stubs()
     install_torchvision_stub()
+
+    # CT_PORTABLE_IMPL=sorted switches the CPU splat/slice path from
+    # interpret-mode Pallas to the pure-XLA sorted-segment implementation
+    # (bit-tested equal, tests/test_pallas_ops.py::TestPortableImplToggle).
+    # The interpret path inflates the traced graph ~an order of magnitude,
+    # which matters for the trajectory stage: its jitted train step
+    # (model fwd+bwd + EMD auction + chamfer) can take hours of XLA-CPU
+    # compile in interpret mode on this 1-core box.
+    if os.environ.get("CT_PORTABLE_IMPL"):
+        from cloud_transformers_tpu.core import splat_slice as _ss
+        _ss.PORTABLE_IMPL = os.environ["CT_PORTABLE_IMPL"]
 
     fams = FAMILIES if args.families == "all" else args.families.split(",")
     stages = args.stages.split(",")

@@ -16,4 +16,5 @@ exec env -i HOME="$HOME" PATH="$PATH" TMPDIR="${TMPDIR:-/tmp}" \
   PYTHONPATH="$REPO:$PURELIB:$KEEP" \
   JAX_PLATFORMS=cpu \
   OMP_NUM_THREADS=1 MKL_NUM_THREADS=1 OPENBLAS_NUM_THREADS=1 \
+  CT_PORTABLE_IMPL="${CT_PORTABLE_IMPL:-}" \
   python -S -O "$@"
