@@ -60,9 +60,12 @@ def _top2_kernel(x1_ref, x2_ref, pr_ref, best_ref, better_ref, idx_ref,
                  best_s, better_s, idx_s, *, m_tiles, m_tile, w_tile):
     """Grid (B, W/W_TILE); in-kernel loop over M_TILE target tiles.
 
-    x1_ref  [1, 8, W_t]          rows 0-2 coords, row 3 |x1|^2
-    x2_ref  [1, m_tiles, 256, 8] lanes 0-2 coords, lane 3 |x2|^2
-    pr_ref  [1, m_tiles, 256, 8] price in lane 0
+    x1_ref  [1, 8, W_t]              rows 0-2 coords, row 3 |x1|^2
+    x2_ref  [1, m_tiles, m_tile, 8]  lanes 0-2 coords, lane 3 |x2|^2
+    pr_ref  [1, m_tiles, m_tile, 8]  price in lane 0
+
+    m_tile is shape-dependent (``_pick_m_tile``): 256 at full width, up
+    to 2048 at compacted widths.
     """
     neg = jnp.float32(_NEG)
     best_s[:] = jnp.full_like(best_s, neg)
@@ -77,7 +80,7 @@ def _top2_kernel(x1_ref, x2_ref, pr_ref, best_ref, better_ref, idx_ref,
         cross = jax.lax.dot_general(
             x2r[:, 0:3], x1c, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)        # [256, W_t]
+            precision=jax.lax.Precision.HIGHEST)        # [m_tile, W_t]
         d2 = x1sq + x2r[:, 3:4] - 2.0 * cross
         value = (3.0 - jnp.sqrt(jnp.maximum(d2, 0.0))
                  - pr_ref[0, t, :, 0:1])
@@ -138,7 +141,7 @@ def pallas_top2(x1, x2, price, interpret=False):
     x1p = jnp.concatenate(
         [x1t, jnp.sum(x1t * x1t, axis=1, keepdims=True),
          jnp.zeros((b, 4, w_pad), jnp.float32)], axis=1)  # [B, 8, W]
-    # target blocks [m_tiles, 256, 8]: lanes 0-2 coords, lane 3 |x2|^2
+    # target blocks [m_tiles, m_tile, 8]: lanes 0-2 coords, lane 3 |x2|^2
     # (B-invariant only when all batch rows share x2 — they don't, so keep
     # the batch dim and let the grid index it)
     x2sq = jnp.sum(x2 * x2, axis=-1, keepdims=True)
