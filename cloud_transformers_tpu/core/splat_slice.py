@@ -737,9 +737,11 @@ def _fused_block_mk_bwd(sizes, feat, heads, res, cots):
     d_gk_c, d_kernel, d_bias = _grid_conv_bwd(
         sizes, feat, heads, (gk, kernel), d_gk2)
     d_gk = d_gk_c + d_gk_out
-    # splat backward: winner-routed through gk
+    # splat backward: winner-routed through gk (wk=None: the fused block's
+    # forward never tracks a winner map — FWD_WINNER is a splat_max-only
+    # experiment)
     _, _, d_wlo_p, d_whi_p, d_values = _splat_mk_bwd(
-        sizes, (x0, lane0, w_lo, w_hi, values, gk), d_gk)
+        sizes, (x0, lane0, w_lo, w_hi, values, gk, None), d_gk)
     return (None, None, d_wlo_s + d_wlo_p, d_whi_s + d_whi_p, d_values,
             d_kernel, d_bias)
 
